@@ -1,0 +1,194 @@
+"""Expression → SQL unparsing for pushdown and DML generation.
+
+Reference analog: the DataFusion unparser drives `scan_to_sql`
+(crates/common/src/sql/sql_provider_datafusion/mod.rs:122-134) and the
+exact/unsupported filter split (mod.rs:231-247, expr.rs:1-68). In Spark the
+plan-level pushdown is Catalyst's job; what we own is:
+
+- translating the Python Data Source API ``Filter`` objects that Spark pushes
+  into dialect SQL WHERE clauses (the "Exact" set — anything translated here
+  is removed from Spark's post-scan filter, so translation must be
+  semantics-preserving);
+- rendering literals / identifiers per backend dialect (quoting, LIKE
+  escaping, interval lowering for SQLite — reference
+  crates/sqlite/src/sqlite_interval.rs).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import List, Optional, Sequence, Tuple
+
+
+class Dialect:
+    """Identifier quoting + literal rendering for one SQL backend."""
+
+    name = "ansi"
+    quote_char = '"'
+
+    def quote_ident(self, ident: str) -> str:
+        q = self.quote_char
+        return q + ident.replace(q, q + q) + q
+
+    def quote_compound(self, parts: Sequence[str]) -> str:
+        return ".".join(self.quote_ident(p) for p in parts)
+
+    def literal(self, value) -> str:
+        if value is None:
+            return "NULL"
+        if isinstance(value, bool):
+            return "TRUE" if value else "FALSE"
+        if isinstance(value, (int, float)):
+            return repr(value)
+        if isinstance(value, dt.datetime):
+            return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
+        if isinstance(value, dt.date):
+            return f"DATE '{value.isoformat()}'"
+        if isinstance(value, bytes):
+            return "X'" + value.hex() + "'"
+        s = str(value).replace("'", "''")
+        return f"'{s}'"
+
+    def like_escape(self, fragment: str) -> str:
+        """Escape LIKE metacharacters in a plain-string fragment."""
+        return (
+            fragment.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        )
+
+
+class DuckDBDialect(Dialect):
+    name = "duckdb"
+
+
+class SQLiteDialect(Dialect):
+    name = "sqlite"
+
+
+class PostgresDialect(Dialect):
+    name = "postgres"
+
+
+class MySQLDialect(Dialect):
+    name = "mysql"
+    quote_char = "`"
+
+
+DIALECTS = {
+    d.name: d()
+    for d in (Dialect, DuckDBDialect, SQLiteDialect, PostgresDialect, MySQLDialect)
+}
+
+
+def translate_filters(
+    filters, dialect: Dialect
+) -> Tuple[List[str], List]:
+    """Split pushed DSv2 filters into (SQL clauses, unsupported filters).
+
+    Mirrors the reference's Exact/Unsupported split: a filter we translate is
+    dropped from Spark's plan, so only translate what the remote engine will
+    evaluate with identical semantics. Anything else is returned for Spark to
+    re-check post-scan (reference marks those 'Inexact' — table.rs:266 for
+    the Mongo analog).
+    """
+    from pyspark.sql.datasource import (
+        EqualNullSafe,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        Not,
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
+    )
+
+    clauses: List[str] = []
+    unsupported: List = []
+
+    def col(attr) -> str:
+        return dialect.quote_compound(attr)
+
+    def one(f, negate: bool = False) -> Optional[str]:
+        if isinstance(f, Not):
+            inner = one(f.child, negate=not negate)
+            return inner
+        neg = "NOT " if negate else ""
+        if isinstance(f, EqualTo):
+            op = "<>" if negate else "="
+            return f"{col(f.attribute)} {op} {dialect.literal(f.value)}"
+        if isinstance(f, EqualNullSafe):
+            return f"{neg}({col(f.attribute)} IS NOT DISTINCT FROM {dialect.literal(f.value)})"
+        if isinstance(f, GreaterThan):
+            return f"{neg}({col(f.attribute)} > {dialect.literal(f.value)})"
+        if isinstance(f, GreaterThanOrEqual):
+            return f"{neg}({col(f.attribute)} >= {dialect.literal(f.value)})"
+        if isinstance(f, LessThan):
+            return f"{neg}({col(f.attribute)} < {dialect.literal(f.value)})"
+        if isinstance(f, LessThanOrEqual):
+            return f"{neg}({col(f.attribute)} <= {dialect.literal(f.value)})"
+        if isinstance(f, In):
+            vals = ", ".join(dialect.literal(v) for v in f.values)
+            return f"{col(f.attribute)} {'NOT ' if negate else ''}IN ({vals})"
+        if isinstance(f, IsNull):
+            return f"{col(f.attribute)} IS {'NOT ' if negate else ''}NULL"
+        if isinstance(f, IsNotNull):
+            return f"{col(f.attribute)} IS {'' if negate else 'NOT '}NULL"
+        if isinstance(f, StringContains):
+            pat = dialect.like_escape(f.value)
+            return f"{col(f.attribute)} {'NOT ' if negate else ''}LIKE '%{_esc(pat)}%' ESCAPE '\\'"
+        if isinstance(f, StringStartsWith):
+            pat = dialect.like_escape(f.value)
+            return f"{col(f.attribute)} {'NOT ' if negate else ''}LIKE '{_esc(pat)}%' ESCAPE '\\'"
+        if isinstance(f, StringEndsWith):
+            pat = dialect.like_escape(f.value)
+            return f"{col(f.attribute)} {'NOT ' if negate else ''}LIKE '%{_esc(pat)}' ESCAPE '\\'"
+        return None
+
+    for f in filters:
+        try:
+            clause = one(f)
+        except Exception:
+            clause = None
+        if clause is None:
+            unsupported.append(f)
+        else:
+            clauses.append(clause)
+    return clauses, unsupported
+
+
+def _esc(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def build_select(
+    dialect: Dialect,
+    relation: str,
+    columns: Optional[Sequence[str]] = None,
+    where: Sequence[str] = (),
+    order_by: Sequence[str] = (),
+    limit: Optional[int] = None,
+) -> str:
+    """Compose the pushed-down SELECT — the analog of ``scan_to_sql``
+    (reference mod.rs:122-134: projection + filters + limit into one SQL).
+
+    An empty projection becomes ``SELECT 1`` with a synthetic column, the
+    same trick the reference uses for COUNT(*)-only scans (mod.rs:258-276).
+    """
+    if columns:
+        proj = ", ".join(dialect.quote_ident(c) for c in columns)
+    elif columns is not None:
+        proj = "1 AS one"
+    else:
+        proj = "*"
+    sql = f"SELECT {proj} FROM {relation}"
+    if where:
+        sql += " WHERE " + " AND ".join(f"({c})" for c in where)
+    if order_by:
+        sql += " ORDER BY " + ", ".join(order_by)
+    if limit is not None:
+        sql += f" LIMIT {int(limit)}"
+    return sql

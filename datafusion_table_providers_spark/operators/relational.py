@@ -1,0 +1,799 @@
+"""Relational operator surface (SURVEY.md §2.B, B1–B24 + streaming shapes).
+
+The reference supports this surface end-to-end because whole DataFusion plans
+are unparsed to remote SQL (crates/common/src/sql/sql_provider_datafusion/
+federation.rs:62-110). Here Spark Catalyst *is* the engine; each builder below
+is the idiomatic DataFrame expression of one capability, written scale-first:
+
+- joins against dimension tables take an explicit ``broadcast()`` hint;
+- aggregations are expressed so map-side partial aggregation applies;
+- sorts that feed a LIMIT stay as TopK (Spark's TakeOrderedAndProject);
+- every filter/projection is declarative so it reaches the parquet scan.
+
+Every query is deterministic (unique sort tiebreakers; doubles rounded) so
+the driver's order-insensitive value-hash matches the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_table_providers_spark.core.case import QueryCase, utc
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    utc(spark)
+    if name == "events":
+        # The driver writes events.ts as parquet TIMESTAMP(NANOS); Spark's
+        # vectorized reader rejects nanos, so read as raw int64 nanoseconds
+        # and floor-truncate to microseconds (same truncation DuckDB applies).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _r(col, decimals: int = 2):
+    """Deterministic half-up rounding computed identically in IEEE doubles on
+    Spark and DuckDB: floor(x * s + 0.5) / s.
+
+    Spark's ``round()`` re-parses the double's shortest decimal repr
+    (BigDecimal HALF_UP) while DuckDB rounds the binary value — they disagree
+    whenever the true value sits on a .5 boundary (common for money columns
+    with 2-decimal inputs). This formula makes both engines run the exact
+    same float ops, so results are bit-identical.
+    """
+    s = float(10**decimals)
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+def _rsql(expr: str, decimals: int = 2) -> str:
+    s = float(10**decimals)
+    return f"FLOOR(({expr}) * {s} + 0.5) / {s}"
+
+
+# --------------------------------------------------------------------------
+# B1 scan / projection
+def b01_scan_projection(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+B01_SQL = "SELECT l_orderkey, l_quantity FROM lineitem"
+
+
+# B2 comparison + boolean filter
+def b02_filter_compare(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.filter((F.col("o_totalprice") > 1000) & (F.col("o_orderstatus") == "F"))
+
+
+B02_SQL = "SELECT * FROM orders WHERE o_totalprice > 1000 AND o_orderstatus = 'F'"
+
+
+# B3 IN / BETWEEN / LIKE / IS NOT NULL / NOT
+def b03_filter_in_like_between(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").isin(1, 5, 9, 12)
+        & (
+            F.col("p_name").like("%green%")
+            | F.col("p_retailprice").between(950, 980)
+        )
+        & F.col("p_type").isNotNull()
+        & ~(F.col("p_brand") == "nonexistent")
+    )
+
+
+B03_SQL = """
+SELECT * FROM part
+WHERE p_size IN (1,5,9,12)
+  AND (p_name LIKE '%green%' OR p_retailprice BETWEEN 950 AND 980)
+  AND p_type IS NOT NULL
+  AND NOT (p_brand = 'nonexistent')
+"""
+
+
+# B4 arithmetic + CASE + CAST
+def b04_case_arith_cast(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        _r(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("rev"),
+        F.when(F.col("l_tax") > 0.05, "hi").otherwise("lo").alias("tax_band"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+    )
+
+
+B04_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       {_rsql('l_extendedprice * (1 - l_discount)', 2)} AS rev,
+       CASE WHEN l_tax > 0.05 THEN 'hi' ELSE 'lo' END AS tax_band,
+       CAST(l_quantity AS INTEGER) AS qty_int
+FROM lineitem
+"""
+
+
+# B5 inner equi-join (dimension side broadcast)
+def b05_inner_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name"
+    )
+
+
+B05_SQL = """
+SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# B6 left outer join
+def b06_left_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+B06_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+  ON c_custkey = o_custkey
+"""
+
+
+# B6b full outer join
+def b06b_full_outer_join(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_suppliers"))
+        .filter(F.col("s_nationkey") < 20)
+    )
+    return n.join(s, n.n_nationkey == s.s_nationkey, "outer").select(
+        "n_nationkey", "n_name", "s_nationkey", "n_suppliers"
+    )
+
+
+B06B_SQL = """
+SELECT n_nationkey, n_name, s_nationkey, n_suppliers
+FROM nation FULL OUTER JOIN (
+  SELECT s_nationkey, count(*) AS n_suppliers FROM supplier
+  GROUP BY s_nationkey HAVING s_nationkey < 20
+) s ON n_nationkey = s_nationkey
+"""
+
+
+# B7 semi join (EXISTS)
+def b07_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+B07_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+# B7b anti join (NOT EXISTS)
+def b07b_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+B07B_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+# B8 multi-way join — TPC-H Q3 shape
+def b08_multi_join_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-01-01")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1999-01-01")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+B08_SQL = f"""
+SELECT l_orderkey, o_orderdate,
+       {_rsql('SUM(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate > TIMESTAMP '1999-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# B9 theta join
+def b09_theta_join(spark, sf_dir):
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("a_name"), F.col("n_regionkey").alias("a_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("b_name"), F.col("n_regionkey").alias("b_region")
+    )
+    return n1.join(n2, F.col("a_region") < F.col("b_region")).select(
+        "a_name", "b_name"
+    )
+
+
+B09_SQL = """
+SELECT n1.n_name AS a_name, n2.n_name AS b_name
+FROM nation n1 JOIN nation n2 ON n1.n_regionkey < n2.n_regionkey
+"""
+
+
+# B10 hash aggregate — TPC-H Q1 shape
+def b10_agg_q1(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            _r(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            _r(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _r(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            _r(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+B10_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_rsql('SUM(l_quantity)', 2)} AS sum_qty,
+       {_rsql('SUM(l_extendedprice)', 2)} AS sum_base_price,
+       {_rsql('SUM(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+       {_rsql('SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+       {_rsql('AVG(l_quantity)', 4)} AS avg_qty,
+       {_rsql('AVG(l_extendedprice)', 4)} AS avg_price,
+       {_rsql('AVG(l_discount)', 4)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# B11 COUNT(DISTINCT)
+def b11_count_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+B11_SQL = """
+SELECT COUNT(DISTINCT o_custkey) AS n_custs,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses
+FROM orders
+"""
+
+
+# B12 HAVING
+def b12_having(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(_r(F.sum("o_totalprice"), 2).alias("spend"))
+        .filter(F.col("spend") > 2000000)
+    )
+
+
+B12_SQL = f"""
+SELECT o_custkey, {_rsql('SUM(o_totalprice)', 2)} AS spend
+FROM orders GROUP BY o_custkey
+HAVING {_rsql('SUM(o_totalprice)', 2)} > 2000000
+"""
+
+
+# B13 scalar subquery (decorrelated as broadcast cross-join on the aggregate)
+def b13_scalar_subquery(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    avg_price = p.agg(F.avg("p_retailprice").alias("avg_rp"))
+    return (
+        p.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("avg_rp"))
+        .select("p_partkey", "p_retailprice")
+    )
+
+
+B13_SQL = """
+SELECT p_partkey, p_retailprice FROM part
+WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+"""
+
+
+# B14 ranking windows
+def b14_window_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).filter(F.col("rn") <= 3)
+
+
+B14_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+       CAST(RANK() OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+QUALIFY rn <= 3
+"""
+
+
+# B15 window aggregate with frame (running sum) + lag/lead
+def b15_window_frame(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        _r(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_spend"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+    )
+
+
+B15_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       {_rsql('''SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''', 2)} AS running_spend,
+       LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+FROM orders WHERE o_custkey < 100
+"""
+
+
+# B16 multi-key sort + NULLS placement + limit
+def b16_sort_nulls(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy(
+            F.desc_nulls_last("l_shipdate"),
+            F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+        )
+        .limit(20)
+    )
+
+
+B16_SQL = """
+SELECT l_orderkey, l_linenumber, l_shipdate
+FROM lineitem
+ORDER BY l_shipdate DESC NULLS LAST, l_orderkey ASC, l_linenumber ASC
+LIMIT 20
+"""
+
+
+# B17 Top-K (TakeOrderedAndProject — no full sort at scale)
+def b17_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+B17_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# B18 set operations
+def b18_union(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    return n.union(r).distinct()
+
+
+B18_SQL = "SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region"
+
+
+def b18b_intersect(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    return n.intersect(c)
+
+
+B18B_SQL = """
+SELECT n_nationkey AS k FROM nation INTERSECT SELECT c_nationkey AS k FROM customer
+"""
+
+
+def b18c_except(spark, sf_dir):
+    a = _t(spark, sf_dir, "part").select(F.col("p_size").alias("v"))
+    b = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("v"))
+    return a.exceptAll(b).groupBy("v").agg(F.count("*").alias("cnt"))
+
+
+B18C_SQL = """
+SELECT v, COUNT(*) AS cnt FROM (
+  SELECT p_size AS v FROM part EXCEPT ALL SELECT n_nationkey AS v FROM nation
+) GROUP BY v
+"""
+
+
+# B19 string functions
+def b19_string_funcs(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 5).alias("prefix5"),
+        F.length("c_mktsegment").alias("seg_len"),
+        F.concat_ws("-", "c_name", "c_mktsegment").alias("tagged"),
+        F.trim(F.lower("c_mktsegment")).alias("seg_lc"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+    )
+
+
+B19_SQL = """
+SELECT c_custkey,
+       UPPER(c_name) AS uname,
+       SUBSTR(c_name, 1, 5) AS prefix5,
+       CAST(LENGTH(c_mktsegment) AS INTEGER) AS seg_len,
+       c_name || '-' || c_mktsegment AS tagged,
+       TRIM(LOWER(c_mktsegment)) AS seg_lc,
+       LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+       REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS name_masked
+FROM customer
+"""
+
+
+# B20 date functions + intervals (SQLite would lower these to datetime() calls
+# via the dialect layer — reference crates/sqlite/src/sqlite_interval.rs)
+def b20_date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("ship_by"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_2002"),
+    )
+
+
+B20_SQL = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 90 DAY AS ship_by,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mo,
+       CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS dom,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
+FROM orders
+"""
+
+
+# B21 math functions
+def b21_math_funcs(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        _r(F.col("l_extendedprice"), 1).alias("price_r1"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+        F.pow(F.lit(2), F.col("l_linenumber")).alias("pow2"),
+    )
+
+
+B21_SQL = f"""
+SELECT l_orderkey, l_linenumber,
+       {_rsql('l_extendedprice', 1)} AS price_r1,
+       ROUND(ABS(l_discount - 0.05), 6) AS disc_dev,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(CEIL(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+       ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+       ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+       l_orderkey % 7 AS key_mod7,
+       CAST(POW(2, l_linenumber) AS DOUBLE) AS pow2
+FROM lineitem
+"""
+
+
+# B22 aggregates over decimals & dates with a join
+def b22_agg_minmax(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.max("o_totalprice").alias("max_price"),
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+B22_SQL = f"""
+SELECT MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order,
+       MAX(o_totalprice) AS max_price,
+       {_rsql('SUM(l_quantity)', 2)} AS sum_qty,
+       COUNT(*) AS n_rows
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+# B23 ROLLUP / CUBE grouping sets
+def b23_rollup(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+B23_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_rsql('SUM(l_quantity)', 2)} AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def b23b_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        _r(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+B23B_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {_rsql('AVG(o_totalprice)', 4)} AS avg_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# B24 nested data: JSON extraction, array explode, array scalars
+def b24_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k_val").alias("k_sum"),
+            F.max("k_val").alias("k_max"),
+        )
+    )
+
+
+B24_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
+def b24b_explode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+B24B_SQL = """
+SELECT w AS word, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w
+"""
+
+
+def b24c_array_scalars(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_contains(toks, "spark").cast("boolean").alias("has_spark"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+B24C_SQL = """
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       toks[1] AS first_tok,
+       toks[-1] AS last_tok,
+       list_contains(toks, 'spark') AS has_spark,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+# B26 event-time tumbling window (Structured Streaming shape, batch-checked)
+def b26_event_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "6 hours").start.alias("win_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _r(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+B26_SQL = f"""
+SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start, event_type,
+       COUNT(*) AS n, {_rsql('SUM(value)', 2)} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# B27 sessionization via gap detection (lag + cumulative flag)
+def b27_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000  # 30 min session gap
+    with_gap = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("prev_us"),
+    ).withColumn(
+        "is_new_session",
+        (F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > gap_us)).cast(
+            "int"
+        ),
+    )
+    w_us = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sessions = with_gap.withColumn(
+        "session_id",
+        F.sum("is_new_session").over(
+            w_us.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+B27_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), f AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM g
+), s AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM f
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+SUITE = {
+    "b01_scan_projection": QueryCase(b01_scan_projection, B01_SQL, "B1 full scan/projection"),
+    "b02_filter_compare": QueryCase(b02_filter_compare, B02_SQL, "B2 comparison/boolean filter"),
+    "b03_filter_in_like_between": QueryCase(b03_filter_in_like_between, B03_SQL, "B3 IN/BETWEEN/LIKE/IS NULL/NOT"),
+    "b04_case_arith_cast": QueryCase(b04_case_arith_cast, B04_SQL, "B4 arithmetic + CASE + CAST"),
+    "b05_inner_join": QueryCase(b05_inner_join, B05_SQL, "B5 inner equi-join"),
+    "b06_left_join": QueryCase(b06_left_join, B06_SQL, "B6 left outer join"),
+    "b06b_full_outer_join": QueryCase(b06b_full_outer_join, B06B_SQL, "B6 full outer join"),
+    "b07_semi_join": QueryCase(b07_semi_join, B07_SQL, "B7 semi join (EXISTS)"),
+    "b07b_anti_join": QueryCase(b07b_anti_join, B07B_SQL, "B7 anti join (NOT EXISTS)"),
+    "b08_multi_join_q3": QueryCase(b08_multi_join_q3, B08_SQL, "B8 TPC-H Q3 shape"),
+    "b09_theta_join": QueryCase(b09_theta_join, B09_SQL, "B9 theta join"),
+    "b10_agg_q1": QueryCase(b10_agg_q1, B10_SQL, "B10 TPC-H Q1 shape"),
+    "b11_count_distinct": QueryCase(b11_count_distinct, B11_SQL, "B11 COUNT DISTINCT"),
+    "b12_having": QueryCase(b12_having, B12_SQL, "B12 HAVING"),
+    "b13_scalar_subquery": QueryCase(b13_scalar_subquery, B13_SQL, "B13 scalar subquery"),
+    "b14_window_rank": QueryCase(b14_window_rank, B14_SQL, "B14 ranking windows"),
+    "b15_window_frame": QueryCase(b15_window_frame, B15_SQL, "B15 window frame + lag/lead"),
+    "b16_sort_nulls": QueryCase(b16_sort_nulls, B16_SQL, "B16 multi-key sort NULLS LAST"),
+    "b17_topk": QueryCase(b17_topk, B17_SQL, "B17 Top-K"),
+    "b18_union": QueryCase(b18_union, B18_SQL, "B18 UNION"),
+    "b18b_intersect": QueryCase(b18b_intersect, B18B_SQL, "B18 INTERSECT"),
+    "b18c_except": QueryCase(b18c_except, B18C_SQL, "B18 EXCEPT ALL"),
+    "b19_string_funcs": QueryCase(b19_string_funcs, B19_SQL, "B19 string functions"),
+    "b20_date_funcs": QueryCase(b20_date_funcs, B20_SQL, "B20 date functions + intervals"),
+    "b21_math_funcs": QueryCase(b21_math_funcs, B21_SQL, "B21 math functions"),
+    "b22_agg_minmax": QueryCase(b22_agg_minmax, B22_SQL, "B22 min/max/sum over join"),
+    "b23_rollup": QueryCase(b23_rollup, B23_SQL, "B23 ROLLUP"),
+    "b23b_cube": QueryCase(b23b_cube, B23B_SQL, "B23 CUBE"),
+    "b24_json": QueryCase(b24_json, B24_SQL, "B24 JSON nested access"),
+    "b24b_explode": QueryCase(b24b_explode, B24B_SQL, "B24 array explode"),
+    "b24c_array_scalars": QueryCase(b24c_array_scalars, B24C_SQL, "B24 array scalar functions"),
+    "b26_event_window": QueryCase(b26_event_window, B26_SQL, "tumbling event-time window"),
+    "b27_sessionize": QueryCase(b27_sessionize, B27_SQL, "sessionization via gaps"),
+}
