@@ -131,6 +131,16 @@ class DuckDBBackend(Backend):
         with self._lock:
             self._connect().unregister(name)
 
+    def close(self) -> None:
+        """Release the RW connection so read-only scanners (executor
+        processes) can open the file — DuckDB allows one RW process or many
+        RO processes, the same exclusivity the reference's write-gate RwLock
+        models (crates/duckdb/src/pool.rs:318)."""
+        with self._lock:
+            if self._con is not None:
+                self._con.close()
+                self._con = None
+
     def table_names(self) -> list:
         with self._lock:
             rows = self._connect().execute("SHOW TABLES").fetchall()

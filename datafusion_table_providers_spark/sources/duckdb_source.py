@@ -1,0 +1,218 @@
+"""DuckDB connector on the PySpark Python Data Source API.
+
+Reference analog: the DuckDB ``TableProvider`` (crates/duckdb/) built on the
+generic ``SqlTable``/``SqlExec`` (crates/common/src/sql/sql_provider_datafusion/
+mod.rs:70-228). Parity pieces:
+
+- generated ``SELECT <proj> FROM rel WHERE <filters> LIMIT n`` pushed to the
+  engine (scan_to_sql, mod.rs:122-134) — here via ``pushFilters`` (exact
+  filters are removed from Spark's plan, the reference's 'Exact' marking,
+  mod.rs:231-247);
+- parquet-backed logical tables registered as ``read_parquet`` views — the
+  table-function CTE scan (crates/duckdb/src/sql_table.rs:30-60, A11);
+- per-connection settings (`SET k=v`) — the settings registry
+  (crates/duckdb/src/settings.rs);
+- every batch is cast to the declared Arrow schema before it is handed to
+  Spark — `enforce_schema` parity (crates/flightsql/src/exec.rs:226-265).
+
+Beyond-reference (Spark-first): optional range partitioning
+(``partition_column``/``num_partitions``/bounds) turns the single-partition
+reference scan into N parallel executor-side scans, each a disjoint
+``WHERE pc >= lo AND pc < hi`` slice — the strategy that survives a 100×
+scale-up, since each executor opens its own read-only connection and streams
+Arrow batches without driver involvement.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, List, Optional
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from datafusion_table_providers_spark.core.expr import (
+    DIALECTS,
+    build_select,
+    translate_filters,
+)
+from datafusion_table_providers_spark.core.types import arrow_to_spark_schema
+
+
+class RangePartition(InputPartition):
+    def __init__(self, index: int, clause: Optional[str]):
+        self.index = index
+        self.clause = clause
+
+
+def _worker_connect(opts):
+    """Open a per-task DuckDB connection (read-only for file DBs so many
+    executor processes can scan concurrently) and materialize parquet views."""
+    import duckdb
+
+    path = opts.get("path", ":memory:")
+    if path == ":memory:":
+        con = duckdb.connect()
+    else:
+        con = duckdb.connect(path, read_only=True)
+    for k, v in json.loads(opts.get("settings", "{}")).items():
+        con.execute(f"SET {k} = '{v}'")
+    for db in json.loads(opts.get("attach", "[]")):
+        con.execute(f"ATTACH '{db}' (READ_ONLY)")
+    for name, pq in json.loads(opts.get("parquet_tables", "{}")).items():
+        con.execute(
+            f'CREATE OR REPLACE VIEW "{name}" AS SELECT * FROM read_parquet(\'{pq}\')'
+        )
+    return con
+
+
+class DuckDBReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.spark_schema = schema
+        self.options = options
+        self.relation = options.get("relation")
+        self.dialect = DIALECTS["duckdb"]
+        self.where: List[str] = []
+        json.loads(options.get("parquet_tables", "{}"))  # validate early
+        self._partition_clauses = json.loads(options.get("partition_clauses", "[]"))
+
+    def pushFilters(self, filters):
+        """Exact/unsupported split (reference mod.rs:231-247): clauses we
+        translate are evaluated remotely and dropped from Spark's plan."""
+        clauses, unsupported = translate_filters(filters, self.dialect)
+        self.where.extend(clauses)
+        return iter(unsupported)
+
+    def partitions(self):
+        if self._partition_clauses:
+            return [
+                RangePartition(i, c) for i, c in enumerate(self._partition_clauses)
+            ]
+        return [RangePartition(0, None)]
+
+    def read(self, partition) -> Iterator[pa.RecordBatch]:
+        con = _worker_connect(self.options)
+        where = list(self.where)
+        if getattr(partition, "clause", None):
+            where.append(partition.clause)
+        sql = build_select(
+            self.dialect,
+            self.relation,
+            columns=None,  # Python DS API has no column-pruning hook yet
+            where=where,
+        )
+        reader = con.execute(sql).fetch_record_batch(65536)
+        target = None
+        while True:
+            try:
+                batch = reader.read_next_batch()
+            except StopIteration:
+                break
+            if target is None:
+                target = _target_schema(batch.schema)
+            if batch.schema != target:
+                batch = batch.cast(target)  # enforce_schema parity
+            yield batch
+        con.close()
+
+
+def _target_schema(schema: pa.Schema) -> pa.Schema:
+    """Decode dictionary columns (reference decodes before write too,
+    crates/duckdb/src/write.rs:997) and normalize large types."""
+    fields = []
+    for f in schema:
+        t = f.type
+        if pa.types.is_dictionary(t):
+            t = t.value_type
+        if pa.types.is_large_string(t):
+            t = pa.string()
+        if pa.types.is_large_binary(t):
+            t = pa.binary()
+        fields.append(pa.field(f.name, t, f.nullable))
+    return pa.schema(fields)
+
+
+class DuckDBDataSource(DataSource):
+    """``spark.read.format("duckdb_engine")`` — options:
+
+    - ``path``: database file (or ``:memory:`` with parquet_tables)
+    - ``relation``: table/view name or any relation SQL text
+    - ``parquet_tables``: JSON map name→parquet path (A11 CTE-scan analog)
+    - ``settings``: JSON map of DuckDB SET options
+    - ``attach``: JSON list of extra database files to ATTACH
+    - ``partition_clauses``: JSON list of disjoint WHERE fragments
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "duckdb_engine"
+
+    def schema(self):
+        con = _worker_connect(self.options)
+        rel = self.options.get("relation")
+        arrow_schema = con.execute(f"SELECT * FROM {rel} LIMIT 0").fetch_arrow_table().schema
+        con.close()
+        return arrow_to_spark_schema(_target_schema(arrow_schema))
+
+    def reader(self, schema) -> DataSourceReader:
+        return DuckDBReader(schema, self.options)
+
+
+_REGISTERED = set()
+
+
+def register(spark: SparkSession) -> None:
+    if id(spark) not in _REGISTERED:
+        spark.dataSource.register(DuckDBDataSource)
+        _REGISTERED.add(id(spark))
+
+
+def duckdb_reader_df(
+    spark: SparkSession,
+    backend,
+    relation: str,
+    partition_column: Optional[str] = None,
+    num_partitions: int = 1,
+) -> DataFrame:
+    """Build a connector DataFrame for a backend-managed relation.
+
+    When ``partition_column`` is set, bounds are introspected once on the
+    driver and the scan is split into ``num_partitions`` disjoint range
+    slices executed in parallel on executors (JDBC-style partitioned read —
+    deliberately beyond the reference's UnknownPartitioning(1))."""
+    register(spark)
+    opts = {
+        "path": backend.path,
+        "relation": relation,
+        "settings": json.dumps(getattr(backend, "settings", {})),
+        "attach": json.dumps(list(getattr(backend, "attach", ()))),
+        "parquet_tables": json.dumps(getattr(backend, "parquet_tables", {})),
+    }
+    if backend.path == ":memory:" and not backend.parquet_tables:
+        raise ValueError(
+            "in-memory DuckDB tables are not visible to executor processes; "
+            "use a file-mode backend or parquet-backed tables, or go through "
+            "Engine.sql federation (driver-side Arrow stream)"
+        )
+    if partition_column and num_partitions > 1:
+        q = backend.dialect.quote_ident(partition_column)
+        bounds = backend.query_arrow(
+            f"SELECT MIN({q}) AS lo, MAX({q}) AS hi FROM {relation}"
+        ).to_pylist()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        clauses = []
+        if lo is not None and hi is not None and hi > lo:
+            step = (hi - lo) / num_partitions
+            edges = [lo + step * i for i in range(1, num_partitions)]
+            prev = None
+            for e in edges + [None]:
+                c = []
+                if prev is not None:
+                    c.append(f"{q} >= {prev}")
+                if e is not None:
+                    c.append(f"{q} < {e}")
+                clauses.append(" AND ".join(c) if c else "TRUE")
+                prev = e
+        opts["partition_clauses"] = json.dumps(clauses)
+    return spark.read.format("duckdb_engine").options(**opts).load()

@@ -1,0 +1,287 @@
+"""Connector-backed correctness queries (SURVEY §2.A operators end-to-end).
+
+Each query routes the driver's parquet data *through the engine*: DuckDB /
+SQLite connectors with pushdown, whole-plan federation, and the write path
+(append / upsert / delete / update round-trips). The DuckDB oracle runs the
+equivalent plain SQL on the raw parquet — so a pass certifies the connector
+pipeline, not just Catalyst.
+
+Temp databases are rebuilt per (sf_dir) under /tmp and keyed by scale so
+repeated runs are idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from datafusion_table_providers_spark.core.case import QueryCase, utc
+from datafusion_table_providers_spark.engine import Engine
+from datafusion_table_providers_spark.operators.relational import _r, _rsql
+from datafusion_table_providers_spark.sources.backends import (
+    DuckDBBackend,
+    SQLiteBackend,
+)
+from datafusion_table_providers_spark.write import writer
+from datafusion_table_providers_spark.write.on_conflict import OnConflict
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _duckdb_parquet_backend(sf_dir: str) -> DuckDBBackend:
+    """A :memory: DuckDB whose tables are read_parquet views (A11)."""
+    return DuckDBBackend(
+        parquet_tables={
+            n: _pq(sf_dir, n)
+            for n in ("nation", "region", "customer", "orders", "supplier", "part")
+        }
+    )
+
+
+# --- C1: DuckDB connector scan with filter pushdown ----------------------
+def c01_duckdb_scan_pushdown(spark, sf_dir):
+    utc(spark)
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    backend = _duckdb_parquet_backend(sf_dir)
+    df = duckdb_reader_df(spark, backend, "orders")
+    return df.filter(
+        (F.col("o_totalprice") > 300000) & (F.col("o_orderstatus") == "O")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+C01_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_totalprice > 300000 AND o_orderstatus = 'O'
+"""
+
+
+# --- C2: partitioned (parallel) DuckDB connector scan + aggregation ------
+def c02_duckdb_partitioned_scan(spark, sf_dir):
+    utc(spark)
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    backend = _duckdb_parquet_backend(sf_dir)
+    df = duckdb_reader_df(
+        spark, backend, "orders", partition_column="o_orderkey", num_partitions=8
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        _r(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+C02_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n, {_rsql('SUM(o_totalprice)', 2)} AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- C3: whole-plan federation — join + agg pushed as ONE SQL ------------
+def c03_federation_pushdown(spark, sf_dir):
+    utc(spark)
+    eng = Engine(spark)
+    backend = _duckdb_parquet_backend(sf_dir)
+    eng.register_backend_table("fed_nation", backend, "nation")
+    eng.register_backend_table("fed_region", backend, "region")
+    assert eng.explain_federation(
+        "SELECT 1 FROM fed_nation JOIN fed_region ON 1=1"
+    ).startswith("federated")
+    return eng.sql(
+        """
+        SELECT r_name, COUNT(*) AS n_nations
+        FROM fed_nation JOIN fed_region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+C03_SQL = """
+SELECT r_name, COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- C4: DuckDB write path — append round-trip ---------------------------
+def c04_duckdb_write_roundtrip(spark, sf_dir):
+    utc(spark)
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), f"engine_w_{_tag(sf_dir)}.duckdb")
+    if os.path.exists(path):
+        os.remove(path)
+    backend = DuckDBBackend(path)
+    src = spark.read.parquet(_pq(sf_dir, "customer")).filter(
+        F.col("c_custkey") <= 500
+    )
+    writer.insert_into(
+        backend, "customer_copy", src, mode="append", primary_keys=["c_custkey"]
+    )
+    backend.close()  # release RW lock → executors open read-only
+    df = duckdb_reader_df(spark, backend, "customer_copy")
+    return df.select("c_custkey", "c_name", "c_acctbal")
+
+
+C04_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 500
+"""
+
+
+# --- C5: upsert (ON CONFLICT DO UPDATE) ----------------------------------
+def c05_duckdb_upsert(spark, sf_dir):
+    utc(spark)
+    path = os.path.join(tempfile.gettempdir(), f"engine_u_{_tag(sf_dir)}.duckdb")
+    if os.path.exists(path):
+        os.remove(path)
+    backend = DuckDBBackend(path)
+    cust = spark.read.parquet(_pq(sf_dir, "customer"))
+    base = cust.filter(F.col("c_custkey") <= 300)
+    writer.insert_into(
+        backend, "cust", base, mode="append", primary_keys=["c_custkey"]
+    )
+    # second wave overlaps [200, 400]: rows 200-300 must be UPDATED
+    wave2 = (
+        cust.filter((F.col("c_custkey") > 200) & (F.col("c_custkey") <= 400))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+    )
+    writer.insert_into(
+        backend,
+        "cust",
+        wave2,
+        mode="append",
+        on_conflict=OnConflict.upsert(["c_custkey"]),
+        create=False,
+    )
+    return spark.createDataFrame(
+        backend.query_arrow(
+            'SELECT c_custkey, c_acctbal FROM "cust" ORDER BY c_custkey'
+        )
+    )
+
+
+C05_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey > 200 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
+FROM customer WHERE c_custkey <= 400
+"""
+
+
+# --- C6: DELETE + UPDATE DML ---------------------------------------------
+def c06_duckdb_dml(spark, sf_dir):
+    utc(spark)
+    path = os.path.join(tempfile.gettempdir(), f"engine_d_{_tag(sf_dir)}.duckdb")
+    if os.path.exists(path):
+        os.remove(path)
+    backend = DuckDBBackend(path)
+    nat = spark.read.parquet(_pq(sf_dir, "nation"))
+    writer.insert_into(backend, "nat", nat, mode="append")
+    n_del = writer.delete_from(backend, "nat", "n_regionkey = 0")
+    n_upd = writer.update(
+        backend, "nat", {"n_name": "lower(n_name)"}, "n_regionkey = 1"
+    )
+    assert n_del > 0 and n_upd > 0
+    return spark.createDataFrame(
+        backend.query_arrow('SELECT n_nationkey, n_name, n_regionkey FROM "nat"')
+    )
+
+
+C06_SQL = """
+SELECT n_nationkey,
+       CASE WHEN n_regionkey = 1 THEN lower(n_name) ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation WHERE n_regionkey <> 0
+"""
+
+
+# --- C7: SQLite write + connector read round-trip ------------------------
+def c07_sqlite_roundtrip(spark, sf_dir):
+    utc(spark)
+    from datafusion_table_providers_spark.sources.sqlite_source import (
+        sqlite_reader_df,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), f"engine_s_{_tag(sf_dir)}.db")
+    if os.path.exists(path):
+        os.remove(path)
+    backend = SQLiteBackend(path)
+    sup = spark.read.parquet(_pq(sf_dir, "supplier"))
+    writer.insert_into(
+        backend, "supplier_copy", sup, mode="append", primary_keys=["s_suppkey"]
+    )
+    df = sqlite_reader_df(spark, backend, "supplier_copy")
+    return (
+        df.filter(F.col("s_acctbal") > 5000)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("s_nationkey").cast("int").alias("s_nationkey"),
+            "s_acctbal",
+        )
+    )
+
+
+C07_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier WHERE s_acctbal > 5000
+"""
+
+
+# --- C8: overwrite atomicity ---------------------------------------------
+def c08_duckdb_overwrite(spark, sf_dir):
+    utc(spark)
+    path = os.path.join(tempfile.gettempdir(), f"engine_o_{_tag(sf_dir)}.duckdb")
+    if os.path.exists(path):
+        os.remove(path)
+    backend = DuckDBBackend(path)
+    reg = spark.read.parquet(_pq(sf_dir, "region"))
+    writer.insert_into(backend, "reg", reg, mode="append")
+    # overwrite with a transformed generation — old data must fully vanish
+    reg2 = reg.withColumn("r_name", F.concat(F.lit("NEW_"), F.col("r_name")))
+    writer.insert_into(backend, "reg", reg2, mode="overwrite", create=False)
+    return spark.createDataFrame(
+        backend.query_arrow('SELECT r_regionkey, r_name FROM "reg"')
+    )
+
+
+C08_SQL = "SELECT r_regionkey, 'NEW_' || r_name AS r_name FROM region"
+
+
+SUITE = {
+    "c01_duckdb_scan_pushdown": QueryCase(
+        c01_duckdb_scan_pushdown, C01_SQL, "A1-A5 DuckDB scan + filter pushdown"
+    ),
+    "c02_duckdb_partitioned_scan": QueryCase(
+        c02_duckdb_partitioned_scan, C02_SQL, "partitioned connector scan"
+    ),
+    "c03_federation_pushdown": QueryCase(
+        c03_federation_pushdown, C03_SQL, "A7 whole-plan federation"
+    ),
+    "c04_duckdb_write_roundtrip": QueryCase(
+        c04_duckdb_write_roundtrip, C04_SQL, "A16 INSERT append round-trip"
+    ),
+    "c05_duckdb_upsert": QueryCase(
+        c05_duckdb_upsert, C05_SQL, "A18 upsert ON CONFLICT"
+    ),
+    "c06_duckdb_dml": QueryCase(c06_duckdb_dml, C06_SQL, "A19/A20 DELETE+UPDATE"),
+    "c07_sqlite_roundtrip": QueryCase(
+        c07_sqlite_roundtrip, C07_SQL, "SQLite write + connector read"
+    ),
+    "c08_duckdb_overwrite": QueryCase(
+        c08_duckdb_overwrite, C08_SQL, "A17 atomic INSERT overwrite"
+    ),
+}

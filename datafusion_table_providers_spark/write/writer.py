@@ -1,0 +1,185 @@
+"""Write path: append / overwrite / upsert / DELETE / UPDATE.
+
+Reference analog (crates/duckdb/src/write.rs, crates/common/src/util/dml.rs):
+
+- INSERT append: input stream → staging relation → single-transaction
+  ``INSERT INTO t SELECT * FROM staging [ON CONFLICT ...]`` (write.rs:377-711,
+  staging `write_to_table` :920-987), constraint pre-validation first
+  (:466-476), ANALYZE after (:989-996).
+- INSERT overwrite: write to a staging table, then atomically swap inside one
+  transaction (the reference re-points a view / swaps the DB file,
+  write.rs:712-880 + file_swap.rs; an embedded transactional rename is the
+  equivalent atomicity point here).
+- DELETE / UPDATE: filters → remote ``DELETE FROM t WHERE ...`` /
+  ``UPDATE t SET ... WHERE ...`` returning affected counts as one-row results
+  (dml.rs:19-199, count_exec.rs).
+
+Spark-side streaming: the DataFrame is brought over as Arrow batches per
+partition (``toArrow`` on bounded inputs; ``toLocalIterator`` keeps memory
+bounded for large ones) and appended inside ONE transaction — matching the
+reference's bounded-channel single-writer design (write.rs:409-421). Embedded
+engines serialize writers anyway (DuckDB write gate, pool.rs:318); for truly
+distributed sinks (JDBC fleets) a per-partition ``foreachPartition`` writer
+with driver-side commit would replace this, which is what the partitioned
+reader already models on the scan side.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+from datafusion_table_providers_spark.core.types import create_table_ddl
+from datafusion_table_providers_spark.sources.backends import (
+    Backend,
+    DuckDBBackend,
+    SQLiteBackend,
+)
+from datafusion_table_providers_spark.write.constraints import (
+    validate_not_null,
+    validate_unique,
+)
+from datafusion_table_providers_spark.write.on_conflict import OnConflict
+
+
+def create_table(
+    backend: Backend,
+    table: str,
+    schema,
+    primary_keys: Sequence[str] = (),
+    if_not_exists: bool = True,
+    indexes: Dict[str, bool] = None,
+) -> None:
+    """CREATE TABLE from a Spark schema + optional indexes.
+
+    Index management parity: crates/duckdb/src/creator.rs:288-418 (CREATE
+    [UNIQUE] INDEX), PK columns in CREATE TABLE (statement.rs:127-134).
+    ``indexes`` maps "col" or "col1,col2" → unique?"""
+    ddl = create_table_ddl(
+        table,
+        schema,
+        backend.dialect.name,
+        primary_keys=tuple(primary_keys),
+        if_not_exists=if_not_exists,
+    )
+    backend.execute(ddl)
+    for cols, unique in (indexes or {}).items():
+        col_list = ", ".join(f'"{c.strip()}"' for c in cols.split(","))
+        idx_name = f"idx_{table}_{cols.replace(',', '_').replace(' ', '')}"
+        u = "UNIQUE " if unique else ""
+        backend.execute(
+            f'CREATE {u}INDEX IF NOT EXISTS "{idx_name}" ON "{table}" ({col_list})'
+        )
+
+
+def insert_into(
+    backend: Backend,
+    table: str,
+    df: DataFrame,
+    mode: str = "append",
+    on_conflict: Optional[OnConflict] = None,
+    primary_keys: Sequence[str] = (),
+    create: bool = True,
+) -> int:
+    """Append/overwrite `df` into a backend table; returns row count."""
+    if primary_keys:
+        validate_not_null(df, primary_keys)
+        validate_unique(df, primary_keys)
+    if create:
+        create_table(backend, table, df.schema, primary_keys=primary_keys)
+
+    if isinstance(backend, DuckDBBackend):
+        return _insert_duckdb(backend, table, df, mode, on_conflict)
+    if isinstance(backend, SQLiteBackend):
+        return _insert_sqlite(backend, table, df, mode, on_conflict)
+    raise ValueError(f"no write support for backend {backend}")
+
+
+def _insert_duckdb(backend, table, df, mode, on_conflict) -> int:
+    arrow = df.toArrow()  # Arrow end-to-end; no row-wise conversion
+    staging = f"staging_{uuid.uuid4().hex[:12]}"
+    backend.register_arrow(staging, arrow)
+    cols = ", ".join(f'"{c}"' for c in arrow.schema.names)
+    conflict = (
+        " " + on_conflict.to_sql(arrow.schema.names, "duckdb") if on_conflict else ""
+    )
+    try:
+        if mode == "overwrite":
+            # Atomic swap: build the new generation, then rename inside one
+            # transaction (view re-point analog, write.rs:712-880).
+            gen = f"{table}_gen_{uuid.uuid4().hex[:8]}"
+            backend.execute(f'CREATE TABLE "{gen}" AS SELECT * FROM "{table}" LIMIT 0')
+            backend.execute(
+                f'INSERT INTO "{gen}" ({cols}) SELECT {cols} FROM "{staging}"'
+            )
+            backend.execute(
+                f'BEGIN; DROP TABLE "{table}"; '
+                f'ALTER TABLE "{gen}" RENAME TO "{table}"; COMMIT'
+            )
+        else:
+            backend.execute(
+                f'INSERT INTO "{table}" ({cols}) '
+                f'SELECT {cols} FROM "{staging}"{conflict}'
+            )
+        # Stats refresh after bulk write (ANALYZE, write.rs:989-996)
+        backend.execute(f'ANALYZE "{table}"')
+    finally:
+        backend.unregister(staging)
+    return arrow.num_rows
+
+
+def _insert_sqlite(backend, table, df, mode, on_conflict) -> int:
+    """Prepared-statement batch insert — the reference's fast path
+    (prepared toggle crates/sqlite/src/lib.rs:157-161, bench
+    benches/sqlite_insert_benchmark.rs)."""
+    cols = [f.name for f in df.schema.fields]
+    col_sql = ", ".join(f'"{c}"' for c in cols)
+    ph = ", ".join("?" for _ in cols)
+    conflict = " " + on_conflict.to_sql(cols, "sqlite") if on_conflict else ""
+    sql = f'INSERT INTO "{table}" ({col_sql}) VALUES ({ph}){conflict}'
+    if mode == "overwrite":
+        backend.execute(f'DELETE FROM "{table}"')
+    total = 0
+    # toLocalIterator streams one partition at a time — bounded driver memory,
+    # the bounded-mpsc-channel analog (write.rs:409-421).
+    batch = []
+    for row in df.toLocalIterator():
+        batch.append(tuple(row[c] for c in cols))
+        if len(batch) >= 10000:
+            backend.executemany(sql, batch)
+            total += len(batch)
+            batch = []
+    if batch:
+        backend.executemany(sql, batch)
+        total += len(batch)
+    return total
+
+
+def delete_from(backend: Backend, table: str, condition: Optional[str] = None) -> int:
+    """Remote DELETE; returns affected count (DeletionExec analog,
+    dml.rs:49-123)."""
+    where = f" WHERE {condition}" if condition else ""
+    if isinstance(backend, DuckDBBackend):
+        tbl = backend.query_arrow(f'DELETE FROM "{table}"{where} RETURNING 1')
+        return tbl.num_rows
+    return backend.execute(f'DELETE FROM "{table}"{where}')
+
+
+def update(
+    backend: Backend,
+    table: str,
+    assignments: Dict[str, str],
+    condition: Optional[str] = None,
+) -> int:
+    """Remote UPDATE from column→SQL-expression assignments (UpdateExec
+    analog, dml.rs:126-199)."""
+    sets = ", ".join(f'"{c}" = {expr}' for c, expr in assignments.items())
+    where = f" WHERE {condition}" if condition else ""
+    if isinstance(backend, DuckDBBackend):
+        tbl = backend.query_arrow(
+            f'UPDATE "{table}" SET {sets}{where} RETURNING 1'
+        )
+        return tbl.num_rows
+    return backend.execute(f'UPDATE "{table}" SET {sets}{where}')
