@@ -1,0 +1,404 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Beyond-reference additions. Scale-first shapes (the 100 TB designs):
+
+- exact dedup groups on md5(text) — never on the raw text — so the shuffle
+  key is 32 bytes regardless of document size;
+- MinHash-LSH is the classic shingle→minhash→band→bucket-join pipeline: one
+  explode + one groupBy for signatures (16 `min` aggregates computed in a
+  single map-side-combining pass), then a self-join on (band, key) buckets so
+  candidate generation never goes quadratic; exact Jaccard is verified only
+  on the candidate pairs;
+- SimHash packs a 32-bit signature via bit-count sums and blocks on 8-bit
+  bands (pigeonhole: hamming ≤ 3 pairs must agree on ≥1 of 4 bands);
+- n-gram Jaccard joins on shingles directly and is bounded by dropping
+  ultra-common shingles (frequency cap) — the standard rare-feature trick
+  that keeps the candidate join linear on skewed corpora.
+
+Everything is md5-based so Spark and the DuckDB oracle compute identical
+hashes; min() over fixed-width lowercase-hex strings == numeric min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_table_providers_spark.core.case import QueryCase
+from datafusion_table_providers_spark.operators.relational import _r, _rsql, _t
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_W = 3  # word 3-grams
+
+
+# --- d01: exact dedup -----------------------------------------------------
+def d01_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+D01_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- shared shingle builders ---------------------------------------------
+def _shingles_df(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    idx = F.when(
+        n >= SHINGLE_W, F.sequence(F.lit(1), n - (SHINGLE_W - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at(toks, i + j) for j in range(SHINGLE_W)],
+                    ),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(range(1, len(t) - {SHINGLE_W - 2})) AS r(i)
+  WHERE len(t) >= {SHINGLE_W}
+"""
+
+
+# --- d02: MinHash signatures + LSH band keys ------------------------------
+def _signature_df(spark, sf_dir):
+    sh = _shingles_df(spark, sf_dir)
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 16)).alias(
+            f"mh{j}"
+        )
+        for j in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = [
+        F.concat(
+            *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    return sig.select("doc_id", *bands)
+
+
+def d02_minhash_signatures(spark, sf_dir):
+    return _signature_df(spark, sf_dir)
+
+
+def _sig_sql() -> str:
+    mh = ", ".join(
+        f"MIN(substr(md5('{j}:' || s), 1, 16)) AS mh{j}" for j in range(N_HASHES)
+    )
+    bands = ", ".join(
+        "("
+        + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id)
+SELECT doc_id, {bands} FROM sig
+"""
+
+
+# --- d02b: LSH candidate pairs + exact-Jaccard verification ---------------
+def d02b_minhash_lsh_pairs(spark, sf_dir):
+    sig = _signature_df(spark, sf_dir)
+    # bucket join per band: docs sharing any full band key are candidates
+    buckets = None
+    for b in range(N_BANDS):
+        one = sig.select(
+            "doc_id", F.col(f"band{b}").alias("key"), F.lit(b).alias("band")
+        )
+        buckets = one if buckets is None else buckets.union(one)
+    a = buckets.alias("a")
+    bb = buckets.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), F.col("x.s") == F.col("y.s"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        cand.join(inter, ["da", "db"])
+        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .select(
+            "da",
+            "db",
+            _r(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _d02b_sql() -> str:
+    mh = ", ".join(
+        f"MIN(substr(md5('{j}:' || s), 1, 16)) AS mh{j}" for j in range(N_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, "
+        + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + f" AS key, {b} AS band FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT cand.da, cand.db,
+       {_rsql('CAST(inter AS DOUBLE) / (s1.n + s2.n - inter)', 6)} AS jaccard
+FROM cand
+JOIN inter ON cand.da = inter.da AND cand.db = inter.db
+JOIN sizes s1 ON cand.da = s1.doc_id
+JOIN sizes s2 ON cand.db = s2.doc_id
+"""
+
+
+# --- d03: SimHash ---------------------------------------------------------
+SIMHASH_BITS = 32
+
+_HEXVAL_CASE = (
+    "CASE {c} "
+    + " ".join(f"WHEN '{x}' THEN {i}" for i, x in enumerate("0123456789abcdef"))
+    + " END"
+)
+
+
+def _bit_contrib_sql(bit: int) -> str:
+    """±1 contribution of md5-bit `bit` of column `w` (portable SQL)."""
+    nib = _HEXVAL_CASE.format(c=f"substr(md5(w), {1 + bit // 4}, 1)")
+    shift = 3 - bit % 4
+    return f"CASE WHEN (({nib}) >> {shift}) & 1 = 1 THEN 1 ELSE -1 END"
+
+
+def _simhash_value_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return terms
+
+
+def d03_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    contrib = words.select(
+        "doc_id",
+        *[
+            F.expr(_bit_contrib_sql(b)).alias(f"c{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    sums = contrib.groupBy("doc_id").agg(
+        *[F.sum(f"c{b}").alias(f"s{b}") for b in range(SIMHASH_BITS)]
+    )
+    return sums.select(
+        "doc_id", F.expr(_simhash_value_sql()).alias("simhash")
+    )
+
+
+def _d03_sql() -> str:
+    contribs = ", ".join(
+        f"{_bit_contrib_sql(b)} AS c{b}" for b in range(SIMHASH_BITS)
+    )
+    sums = ", ".join(f"SUM(c{b}) AS s{b}" for b in range(SIMHASH_BITS))
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+contrib AS (SELECT doc_id, {contribs} FROM words),
+sums AS (SELECT doc_id, {sums} FROM contrib GROUP BY doc_id)
+SELECT doc_id, {_simhash_value_sql()} AS simhash FROM sums
+"""
+
+
+# --- d03b: SimHash near-dup pairs via byte-band blocking ------------------
+HAMMING_MAX = 3
+
+
+def d03b_simhash_pairs(spark, sf_dir):
+    sig = d03_simhash(spark, sf_dir)
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        *[
+            (F.shiftright(F.col("simhash"), 8 * i) % 256).alias(f"byte{i}")
+            for i in range(4)
+        ],
+    )
+    pairs = None
+    for i in range(4):
+        a = banded.alias("a")
+        b = banded.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.byte{i}") == F.col(f"b.byte{i}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    return (
+        pairs.distinct()
+        .select(
+            "da",
+            "db",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+def _d03b_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"""SELECT a.doc_id da, b.doc_id db, a.simhash ha, b.simhash hb
+        FROM sig a JOIN sig b
+          ON ((a.simhash >> {8 * i}) % 256) = ((b.simhash >> {8 * i}) % 256)
+         AND a.doc_id < b.doc_id"""
+        for i in range(4)
+    )
+    inner = _d03_sql().strip()
+    return f"""
+WITH sig AS ({inner}),
+pairs AS (SELECT DISTINCT da, db, ha, hb FROM ({bands}))
+SELECT da, db, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+"""
+
+
+# --- d04: n-gram Jaccard with frequency-capped candidate join -------------
+FREQ_CAP = 50  # drop shingles present in more docs than this (skew guard)
+MIN_SHARED = 2
+
+
+def d04_ngram_jaccard(spark, sf_dir):
+    sh = _shingles_df(spark, sf_dir)
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= FREQ_CAP)
+        .select("s")
+    )
+    sh_r = sh.join(F.broadcast(rare), "s")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh_r.alias("x")
+        .join(sh_r.alias("y"), F.col("x.s") == F.col("y.s"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= MIN_SHARED)
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"),
+            "da",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"),
+            "db",
+        )
+        .select(
+            "da",
+            "db",
+            "shared",
+            _r(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_D04_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {FREQ_CAP}),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS shared
+  FROM shr x JOIN shr y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SHARED}
+)
+SELECT da, db, shared,
+       {_rsql('CAST(shared AS DOUBLE) / (s1.n + s2.n - shared)', 6)} AS jaccard
+FROM inter JOIN sizes s1 ON da = s1.doc_id JOIN sizes s2 ON db = s2.doc_id
+"""
+
+
+SUITE = {
+    "d01_exact_dedup": QueryCase(d01_exact_dedup, D01_SQL, "exact dedup via md5"),
+    "d02_minhash_signatures": QueryCase(
+        d02_minhash_signatures, _sig_sql(), "MinHash signatures + LSH bands"
+    ),
+    "d02b_minhash_lsh_pairs": QueryCase(
+        d02b_minhash_lsh_pairs, _d02b_sql(), "LSH candidates + exact Jaccard"
+    ),
+    "d03_simhash": QueryCase(d03_simhash, _d03_sql(), "SimHash signatures"),
+    "d03b_simhash_pairs": QueryCase(
+        d03b_simhash_pairs, _d03b_sql(), "SimHash hamming pairs"
+    ),
+    "d04_ngram_jaccard": QueryCase(
+        d04_ngram_jaccard, _D04_SQL, "n-gram Jaccard dedup"
+    ),
+}

@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Beyond-reference addition. Design (the part that must be right at 100 TB):
+
+- media lives in an opaque ``binary`` column with a small typed metadata
+  struct alongside; Spark shuffles/stores the bytes untouched;
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages — bytes cross the JVM↔Python boundary once per
+  batch, and each stage declares an explicit output schema so downstream
+  operators stay columnar;
+- real codec work (PIL/ffmpeg) is stubbed in this container: ``decode_image``
+  raises NotImplementedError by contract, and the pipeline runs with a
+  deterministic fake extractor so the plumbing (schema, batching, partition
+  preservation) is fully testable. Swap ``_FAKE_DECODER`` for a real one in
+  production — the Spark-side contract does not change.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import functions as F
+
+from datafusion_table_providers_spark.core.case import QueryCase
+from datafusion_table_providers_spark.operators.relational import _t
+
+META_SCHEMA = (
+    "doc_id long, n_bytes int, first_byte int, head_hash string, fake_width int"
+)
+
+
+def decode_image(payload: bytes):
+    """Real decode path — requires an image codec, not present here.
+
+    Production: ``PIL.Image.open(io.BytesIO(payload))``. The container has
+    no image libraries, so this is an explicit stub by design.
+    """
+    raise NotImplementedError(
+        "image codecs are unavailable in this environment; "
+        "use extract_fake_metadata for the plumbing path"
+    )
+
+
+def _fake_meta(doc_id: int, payload: bytes):
+    """Deterministic fake 'decode': cheap byte statistics standing in for
+    width/height/etc. Keeps the pipeline end-to-end testable and
+    oracle-checkable."""
+    import hashlib
+
+    return {
+        "doc_id": doc_id,
+        "n_bytes": len(payload),
+        "first_byte": payload[0] if payload else -1,
+        "head_hash": hashlib.md5(payload).hexdigest()[:8],
+        "fake_width": (len(payload) * 7) % 1024,
+    }
+
+
+def extract_metadata_batches(batches) -> Iterator:
+    import pandas as pd
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            [_fake_meta(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])]
+        )
+
+
+# --- m01: binary column pipeline, oracle-checked --------------------------
+def m01_multimodal_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return with_payload.mapInPandas(extract_metadata_batches, META_SCHEMA)
+
+
+# The fake decoder is intentionally SQL-expressible so the driver can verify
+# the whole mapInPandas pipeline against DuckDB (ascii text → bytes == chars).
+M01_SQL = """
+SELECT doc_id,
+       CAST(LENGTH(text) AS INTEGER) AS n_bytes,
+       CAST(ASCII(SUBSTR(text, 1, 1)) AS INTEGER) AS first_byte,
+       SUBSTR(md5(text), 1, 8) AS head_hash,
+       CAST((LENGTH(text) * 7) % 1024 AS INTEGER) AS fake_width
+FROM documents
+"""
+
+
+# --- m02: frame-sampling shape (rows-only check: not SQL-expressible) -----
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
+
+
+def m02_frame_sample(spark, sf_dir):
+    """Fan one payload out into N deterministic 'frames' (the video
+    frame-sampling shape: one row in → k rows out, bytes sliced per frame).
+    Shows the 1:N mapInPandas contract; no SQL oracle by design."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    with_payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = max(1, len(payload) // 4)
+                for k in range(3):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": k,
+                            "frame_bytes": bytes(payload[k * n : (k + 1) * n]),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    frames = with_payload.mapInPandas(sample, FRAME_SCHEMA)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame_bytes").alias("frame_len")
+    )
+
+
+M02_SQL = """
+SELECT doc_id, k AS frame_idx,
+       CAST(CASE WHEN k < 2 THEN GREATEST(LENGTH(text) // 4, 1)
+            ELSE LEAST(GREATEST(LENGTH(text) // 4, 1),
+                       GREATEST(LENGTH(text) - 2 * GREATEST(LENGTH(text) // 4, 1), 0))
+       END AS INTEGER) AS frame_len
+FROM documents, UNNEST([0, 1, 2]) AS t(k)
+WHERE doc_id < 50
+"""
+
+
+SUITE = {
+    "m01_multimodal_meta": QueryCase(
+        m01_multimodal_meta, M01_SQL, "binary metadata via mapInPandas"
+    ),
+    "m02_frame_sample": QueryCase(
+        m02_frame_sample, M02_SQL, "1:N frame sampling via mapInPandas"
+    ),
+}

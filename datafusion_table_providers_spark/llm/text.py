@@ -1,0 +1,268 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond-reference additions (SURVEY §2 'north star'): language ID, quality
+scoring, token counting, document fingerprinting. All operators are pure
+DataFrame expressions (JVM-side, whole-stage codegen — no Python in the hot
+path), so they scale linearly with executors over a 100 TB corpus: every
+query below is a single scan + narrow per-row work (+ one shuffle when a
+group-by is involved).
+
+Determinism contract: each Spark builder has a DuckDB oracle computing the
+same formulas; float outputs use the shared IEEE floor-rounding so both
+engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datafusion_table_providers_spark.core.case import QueryCase
+from datafusion_table_providers_spark.operators.relational import _r, _rsql, _t
+
+# Per-language stopword profiles for the n-gram/stopword-hit heuristic.
+# (Synthetic corpus shares one vocabulary, so predictions skew 'en' — the
+# operator contract is determinism + the scoring pattern, not accuracy.)
+LANG_PROFILES = {
+    "de": ("der", "die", "und", "das"),
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "los", "y", "una"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("wo", "ni", "ta", "de"),
+}
+
+
+def _count_occurrences_spark(padded, word: str):
+    pat = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
+        / len(pat)
+    ).cast("int")
+
+
+def _count_occurrences_sql(padded: str, word: str) -> str:
+    pat = f" {word} "
+    return (
+        f"CAST((LENGTH({padded}) - LENGTH(REPLACE({padded}, '{pat}', ''))) "
+        f"/ {len(pat)} AS INTEGER)"
+    )
+
+
+# --- d07: language identification ----------------------------------------
+def d07_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[
+            sum(
+                _count_occurrences_spark(padded, w) for w in words
+            ).alias(f"score_{lang}")
+            for lang, words in sorted(LANG_PROFILES.items())
+        ],
+    )
+    # winner = first language (alphabetically) whose score >= all others
+    langs = sorted(LANG_PROFILES)
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, lang) if pred is None else pred.when(cond, lang)
+        )
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.otherwise("und").alias("pred_lang"),
+        F.col("score_en").alias("score_en"),
+    )
+
+
+def _d07_sql() -> str:
+    padded = "(' ' || text || ' ')"
+    langs = sorted(LANG_PROFILES)
+    score_cols = ", ".join(
+        "("
+        + " + ".join(
+            _count_occurrences_sql(padded, w) for w in LANG_PROFILES[lang]
+        )
+        + f") AS score_{lang}"
+        for lang in langs
+    )
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+SELECT doc_id, lang, {case_sql} AS pred_lang, score_en
+FROM (SELECT doc_id, lang, {score_cols} FROM documents)
+"""
+
+
+# --- d08: quality scoring -------------------------------------------------
+def d08_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    stop_hits = sum(
+        _count_occurrences_spark(padded, w) for w in LANG_PROFILES["en"]
+    )
+    base = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        F.length(F.regexp_replace("text", "[a-z ]", "")).alias("n_nonalpha"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        _r(F.col("stop_hits") / F.col("n_tokens"), 6).alias("stop_ratio"),
+        _r(
+            (F.col("n_chars_calc") - F.col("n_tokens") + 1)
+            / F.col("n_tokens"),
+            6,
+        ).alias("avg_tok_len"),
+        _r(
+            F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (1.0 - F.col("stop_hits") / F.col("n_tokens")) * 0.3
+            + F.least(
+                (F.col("n_chars_calc") - F.col("n_tokens") + 1)
+                / F.col("n_tokens")
+                / 8.0,
+                F.lit(1.0),
+            )
+            * 0.2,
+            6,
+        ).alias("quality"),
+    )
+
+
+def _d08_sql() -> str:
+    padded = "(' ' || text || ' ')"
+    stop = " + ".join(
+        _count_occurrences_sql(padded, w) for w in LANG_PROFILES["en"]
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS INTEGER) AS n_chars_calc,
+         CAST(LEN(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         ({stop}) AS stop_hits,
+         CAST(LENGTH(REGEXP_REPLACE(text, '[a-z ]', '', 'g')) AS INTEGER) AS n_nonalpha
+  FROM documents
+)
+SELECT doc_id, n_chars_calc, n_tokens,
+       {_rsql('CAST(stop_hits AS DOUBLE) / n_tokens', 6)} AS stop_ratio,
+       {_rsql('CAST(n_chars_calc - n_tokens + 1 AS DOUBLE) / n_tokens', 6)} AS avg_tok_len,
+       {_rsql('LEAST(n_tokens / 100.0, 1.0) * 0.5'
+              ' + (1.0 - CAST(stop_hits AS DOUBLE) / n_tokens) * 0.3'
+              ' + LEAST(CAST(n_chars_calc - n_tokens + 1 AS DOUBLE) / n_tokens / 8.0, 1.0) * 0.2',
+              6)} AS quality
+FROM base
+"""
+
+
+# --- d09: token counting (whitespace + BPE-ish regex) ---------------------
+def d09_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias(
+            "word_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        (F.length("text") - F.length(F.replace("text", F.lit(" "), F.lit(""))))
+        .cast("int")
+        .alias("n_spaces"),
+    )
+
+
+D09_SQL = """
+SELECT doc_id,
+       CAST(LEN(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(LEN(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS word_tokens,
+       CAST(LEN(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER) AS bpe_ish_tokens,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INTEGER) AS n_spaces
+FROM documents
+"""
+
+
+# --- d10: document fingerprinting (winnowing over k-gram rolling hashes) --
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # window of consecutive k-gram hashes
+
+
+def d10_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    idx = F.when(
+        n >= WINNOW_K, F.sequence(F.lit(1), n - (WINNOW_K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    kgrams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(WINNOW_K)]
+                ),
+            )
+        ).alias("pos", "kgram"),
+    ).select(
+        "doc_id", "pos", F.substring(F.md5("kgram"), 1, 8).alias("h")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    fps = kgrams.select(
+        "doc_id", F.min("h").over(w).alias("fp")
+    )
+    return fps.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
+D10_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+kg AS (
+  SELECT doc_id, i AS pos,
+         substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 8) AS h
+  FROM toks, UNNEST(range(1, len(t) - {WINNOW_K - 2})) AS r(i)
+  WHERE len(t) >= {WINNOW_K}
+),
+fps AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM kg
+)
+SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints, MIN(fp) AS min_fp
+FROM fps GROUP BY doc_id
+"""
+
+
+SUITE = {
+    "d07_langid": QueryCase(d07_langid, _d07_sql(), "language-ID heuristic"),
+    "d08_quality": QueryCase(d08_quality, _d08_sql(), "doc quality scoring"),
+    "d09_token_count": QueryCase(d09_token_count, D09_SQL, "token counting"),
+    "d10_fingerprint": QueryCase(
+        d10_fingerprint, D10_SQL, "winnowing fingerprints"
+    ),
+}
