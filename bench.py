@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Query set: the TPC-H-shaped relational core (scan/agg/join/window/topk), the
+connector path (DuckDB pushdown scan), and the LLM-pipeline operators
+(minhash dedup, KNN) — the operators whose plans matter most at 100 TB.
+Each timing includes full execution to a count/collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datafusion_table_providers_spark.session import get_spark  # noqa: E402
+from datafusion_table_providers_spark.suite import FULL_SUITE  # noqa: E402
+
+BENCH_QUERIES = [
+    "b01_scan_projection",
+    "b08_multi_join_q3",
+    "b10_agg_q1",
+    "b14_window_rank",
+    "b17_topk",
+    "b22_agg_minmax",
+    "b26_event_window",
+    "b27_sessionize",
+    "c01_duckdb_scan_pushdown",
+    "c02_duckdb_partitioned_scan",
+    "d01_exact_dedup",
+    "d02_minhash_signatures",
+    "d05_knn_bruteforce",
+    "d08_quality",
+    "d09_token_count",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings = {}
+    for name in BENCH_QUERIES:
+        case = FULL_SUITE[name]
+        # warm the input cache path once (I/O noise), then time execution
+        t0 = time.time()
+        df = case.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

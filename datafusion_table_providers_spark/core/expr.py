@@ -131,7 +131,7 @@ def translate_filters(
         if isinstance(f, LessThanOrEqual):
             return f"{neg}({col(f.attribute)} <= {dialect.literal(f.value)})"
         if isinstance(f, In):
-            vals = ", ".join(dialect.literal(v) for v in f.values)
+            vals = ", ".join(dialect.literal(v) for v in f.value)
             return f"{col(f.attribute)} {'NOT ' if negate else ''}IN ({vals})"
         if isinstance(f, IsNull):
             return f"{col(f.attribute)} IS {'NOT ' if negate else ''}NULL"

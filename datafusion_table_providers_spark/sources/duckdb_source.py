@@ -200,6 +200,8 @@ def duckdb_reader_df(
         bounds = backend.query_arrow(
             f"SELECT MIN({q}) AS lo, MAX({q}) AS hi FROM {relation}"
         ).to_pylist()[0]
+        if backend.path != ":memory:":
+            backend.close()  # release RW lock before executors open read-only
         lo, hi = bounds["lo"], bounds["hi"]
         clauses = []
         if lo is not None and hi is not None and hi > lo:

@@ -1,0 +1,129 @@
+"""Connector + federation behavior tests: pushdown reaches the generated SQL,
+partitioned scans, Engine.sql routing, memory-table guard rails."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_table_providers_spark.engine import Engine
+from datafusion_table_providers_spark.sources.backends import DuckDBBackend
+from datafusion_table_providers_spark.write import writer
+
+SF = "/root/testdata/sf0.001"
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def _filled_backend(spark, tmp_path, n=100):
+    b = DuckDBBackend(str(tmp_path / "c.duckdb"))
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}", float(i)) for i in range(n)], SCHEMA
+    )
+    writer.insert_into(b, "t", df)
+    b.close()
+    return b
+
+
+def test_filter_fully_pushed(spark, tmp_path):
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    b = _filled_backend(spark, tmp_path)
+    df = duckdb_reader_df(spark, b, "t").filter(
+        (F.col("id") > 50) & (F.col("grp") == "g1")
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan  # both predicates became remote SQL
+    assert df.count() == 12
+
+
+def test_partitioned_scan_parallelism(spark, tmp_path):
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    b = _filled_backend(spark, tmp_path)
+    df = duckdb_reader_df(spark, b, "t", partition_column="id", num_partitions=4)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100  # disjoint, complete ranges
+
+
+def test_engine_federates_same_context(spark, tmp_path):
+    b = _filled_backend(spark, tmp_path)
+    eng = Engine(spark)
+    eng.register_backend_table("ft1", b, "t")
+    eng.register_backend_table("ft2", b, "t")
+    assert eng.explain_federation(
+        "SELECT a.id FROM ft1 a JOIN ft2 b ON a.id = b.id"
+    ).startswith("federated")
+    out = eng.sql(
+        "SELECT grp, COUNT(*) AS n FROM ft1 GROUP BY grp ORDER BY grp"
+    ).collect()
+    assert [(r["grp"], r["n"]) for r in out] == [
+        ("g0", 25), ("g1", 25), ("g2", 25), ("g3", 25)
+    ]
+
+
+def test_engine_falls_back_cross_source(spark, tmp_path):
+    b = _filled_backend(spark, tmp_path)
+    eng = Engine(spark)
+    eng.register_backend_table("fed_t", b, "t")
+    eng.register_parquet("nation_pq", f"{SF}/nation.parquet")
+    route = eng.explain_federation(
+        "SELECT * FROM fed_t JOIN nation_pq ON id = n_nationkey"
+    )
+    assert route.startswith("spark[")
+    out = eng.sql(
+        "SELECT COUNT(*) AS n FROM fed_t JOIN nation_pq ON id = n_nationkey"
+    ).collect()
+    assert out[0]["n"] == 25
+
+
+def test_memory_backend_guard(spark):
+    b = DuckDBBackend()  # :memory:, no parquet views
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    with pytest.raises(ValueError, match="in-memory"):
+        duckdb_reader_df(spark, b, "t")
+
+
+def test_parquet_view_backend_scan(spark):
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    b = DuckDBBackend(parquet_tables={"nation": f"{SF}/nation.parquet"})
+    df = duckdb_reader_df(spark, b, "nation")
+    assert df.count() == 25
+    assert df.filter(F.col("n_regionkey") == 0).count() == 5
+
+
+def test_sqlite_connector_pushdown(spark, tmp_path):
+    from datafusion_table_providers_spark.sources.backends import SQLiteBackend
+    from datafusion_table_providers_spark.sources.sqlite_source import (
+        sqlite_reader_df,
+    )
+
+    b = SQLiteBackend(str(tmp_path / "s.db"))
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i)) for i in range(20)], SCHEMA
+    )
+    writer.insert_into(b, "t", df)
+    got = sqlite_reader_df(spark, b, "t").filter(F.col("id") >= 15)
+    assert got.count() == 5
+
+
+def test_multimodal_decode_stub():
+    from datafusion_table_providers_spark.llm.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -1,0 +1,194 @@
+"""Type-matrix round-trip tests (the reference's test backbone, SURVEY §5.1:
+core/tests/arrow_record_batch_gen/mod.rs generators → CREATE EXTERNAL TABLE →
+insert_into → SELECT * → assert equality).
+
+Each fixture writes a small Spark DataFrame through the engine's write path
+into DuckDB / SQLite, reads it back, and asserts value equality. Nulls and
+boundary values included per fixture (FIXTURES.md §A)."""
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import types as T
+
+from datafusion_table_providers_spark.write import writer
+
+
+def roundtrip_duckdb(spark, backend, name, schema, rows):
+    df = spark.createDataFrame(rows, schema)
+    writer.insert_into(backend, name, df)
+    got = backend.query_arrow(f'SELECT * FROM "{name}"').to_pylist()
+    assert sorted(map(str, got)) == sorted(
+        str(r.asDict()) for r in df.collect()
+    ), name
+
+
+INT_SCHEMA = T.StructType(
+    [
+        T.StructField("i8", T.ByteType()),
+        T.StructField("i16", T.ShortType()),
+        T.StructField("i32", T.IntegerType()),
+        T.StructField("i64", T.LongType()),
+    ]
+)
+INT_ROWS = [
+    (-128, -32768, -2147483648, -9223372036854775808),
+    (127, 32767, 2147483647, 9223372036854775807),
+    (None, None, None, None),
+]
+
+
+def test_int_roundtrip(spark, tmp_duckdb):
+    roundtrip_duckdb(spark, tmp_duckdb, "t_int", INT_SCHEMA, INT_ROWS)
+
+
+def test_float_bool_utf8(spark, tmp_duckdb):
+    schema = T.StructType(
+        [
+            T.StructField("f32", T.FloatType()),
+            T.StructField("f64", T.DoubleType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    rows = [
+        (1.5, 2.25, True, "héllo"),
+        (-0.0, 1e308, False, ""),
+        (None, None, None, None),
+    ]
+    roundtrip_duckdb(spark, tmp_duckdb, "t_fbs", schema, rows)
+
+
+def test_decimal_date_timestamp(spark, tmp_duckdb):
+    schema = T.StructType(
+        [
+            T.StructField("d", T.DecimalType(18, 6)),
+            T.StructField("dt", T.DateType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ]
+    )
+    rows = [
+        (Decimal("123456.654321"), dt.date(2024, 2, 29), dt.datetime(2024, 1, 1, 12, 0, 0, 123456)),
+        (Decimal("-0.000001"), dt.date(1970, 1, 1), dt.datetime(1999, 12, 31, 23, 59, 59)),
+        (None, None, None),
+    ]
+    roundtrip_duckdb(spark, tmp_duckdb, "t_ddt", schema, rows)
+
+
+def test_binary(spark, tmp_duckdb):
+    schema = T.StructType([T.StructField("b", T.BinaryType())])
+    rows = [(bytearray(b"\x00\x01\xff"),), (bytearray(b""),), (None,)]
+    roundtrip_duckdb(spark, tmp_duckdb, "t_bin", schema, rows)
+
+
+def test_list_struct_map(spark, tmp_duckdb):
+    schema = T.StructType(
+        [
+            T.StructField("arr", T.ArrayType(T.IntegerType())),
+            T.StructField(
+                "st",
+                T.StructType(
+                    [
+                        T.StructField("b", T.BooleanType()),
+                        T.StructField("c", T.IntegerType()),
+                    ]
+                ),
+            ),
+            T.StructField("m", T.MapType(T.StringType(), T.IntegerType())),
+        ]
+    )
+    rows = [
+        ([1, 2, 3], (True, 7), {"k": 1}),
+        ([], (False, None), {}),
+        (None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    writer.insert_into(tmp_duckdb, "t_nested", df)
+    got = tmp_duckdb.query_arrow('SELECT * FROM "t_nested"')
+    assert got.num_rows == 3
+    assert got.column("arr").to_pylist()[0] == [1, 2, 3]
+    assert got.column("st").to_pylist()[0] == {"b": True, "c": 7}
+    assert list(got.column("m").to_pylist()[0]) in ([("k", 1)], [{"k": 1}])
+
+
+def test_list_of_structs_and_lists(spark, tmp_duckdb):
+    schema = T.StructType(
+        [
+            T.StructField(
+                "los",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("id", T.IntegerType()),
+                            T.StructField("name", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("lol", T.ArrayType(T.ArrayType(T.IntegerType()))),
+        ]
+    )
+    rows = [([(1, "a"), (2, "b")], [[1], [2, 3]]), (None, None)]
+    df = spark.createDataFrame(rows, schema)
+    writer.insert_into(tmp_duckdb, "t_deep", df)
+    got = tmp_duckdb.query_arrow('SELECT * FROM "t_deep"')
+    assert got.column("los").to_pylist()[0] == [
+        {"id": 1, "name": "a"},
+        {"id": 2, "name": "b"},
+    ]
+    assert got.column("lol").to_pylist()[0] == [[1], [2, 3]]
+
+
+def test_sqlite_roundtrip_simple(spark, tmp_sqlite):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = [(1, "a", 1.5), (2, None, -2.25), (3, "c", None)]
+    df = spark.createDataFrame(rows, schema)
+    writer.insert_into(tmp_sqlite, "t", df, primary_keys=["id"])
+    got = tmp_sqlite.query_arrow('SELECT * FROM "t" ORDER BY id').to_pylist()
+    assert got == [
+        {"id": 1, "name": "a", "value": 1.5},
+        {"id": 2, "name": None, "value": -2.25},
+        {"id": 3, "name": "c", "value": None},
+    ]
+
+
+def test_unsupported_type_action():
+    import pyarrow as pa
+
+    from datafusion_table_providers_spark.core.types import (
+        UnsupportedTypeAction,
+        arrow_to_spark_schema,
+    )
+
+    schema = pa.schema([pa.field("big", pa.decimal256(76, 10))])
+    with pytest.raises(TypeError):
+        arrow_to_spark_schema(schema)
+    as_string = arrow_to_spark_schema(schema, UnsupportedTypeAction.STRING)
+    assert as_string.fields[0].dataType.typeName() == "string"
+    ignored = arrow_to_spark_schema(schema, UnsupportedTypeAction.IGNORE)
+    assert len(ignored.fields) == 0
+
+
+def test_ddl_generation():
+    from datafusion_table_providers_spark.core.types import create_table_ddl
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    duck = create_table_ddl("t", schema, "duckdb", primary_keys=("id",))
+    assert duck == (
+        'CREATE TABLE "t" ("id" BIGINT NOT NULL, "tags" VARCHAR[], '
+        'PRIMARY KEY ("id"))'
+    )
+    lite = create_table_ddl("t", schema, "sqlite")
+    assert lite == 'CREATE TABLE "t" ("id" INTEGER NOT NULL, "tags" TEXT)'

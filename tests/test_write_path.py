@@ -1,0 +1,132 @@
+"""Write-path behavior tests: constraints, upsert, overwrite atomicity,
+DELETE/UPDATE counts, sort/limit pushdown fixture (FIXTURES.md)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_table_providers_spark.write import writer
+from datafusion_table_providers_spark.write.constraints import (
+    ConstraintViolation,
+    validate_unique,
+)
+from datafusion_table_providers_spark.write.on_conflict import OnConflict
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def test_constraint_rejects_duplicates(spark, tmp_duckdb):
+    df = spark.createDataFrame([(1, "a"), (1, "b")], SCHEMA)
+    with pytest.raises(ConstraintViolation):
+        writer.insert_into(tmp_duckdb, "t", df, primary_keys=["id"])
+
+
+def test_constraint_window_check_direct(spark):
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA)
+    validate_unique(ok, ["id"])  # no raise
+
+
+def test_upsert_do_nothing_and_update(spark, tmp_duckdb):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA)
+    writer.insert_into(tmp_duckdb, "t", base, primary_keys=["id"])
+    wave = spark.createDataFrame([(2, "B"), (3, "c")], SCHEMA)
+    writer.insert_into(
+        tmp_duckdb, "t", wave,
+        on_conflict=OnConflict.do_nothing(["id"]), create=False,
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in tmp_duckdb.query_arrow('SELECT * FROM "t"').to_pylist()
+    }
+    assert got == {1: "a", 2: "b", 3: "c"}  # 2 untouched
+    wave2 = spark.createDataFrame([(3, "C"), (4, "d")], SCHEMA)
+    writer.insert_into(
+        tmp_duckdb, "t", wave2,
+        on_conflict=OnConflict.upsert(["id"]), create=False,
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in tmp_duckdb.query_arrow('SELECT * FROM "t"').to_pylist()
+    }
+    assert got == {1: "a", 2: "b", 3: "C", 4: "d"}  # 3 updated
+
+
+def test_overwrite_replaces_everything(spark, tmp_duckdb):
+    writer.insert_into(
+        tmp_duckdb, "t", spark.createDataFrame([(1, "old")], SCHEMA)
+    )
+    writer.insert_into(
+        tmp_duckdb,
+        "t",
+        spark.createDataFrame([(9, "new")], SCHEMA),
+        mode="overwrite",
+        create=False,
+    )
+    got = tmp_duckdb.query_arrow('SELECT * FROM "t"').to_pylist()
+    assert got == [{"id": 9, "v": "new"}]
+
+
+def test_delete_update_counts(spark, tmp_duckdb):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], SCHEMA)
+    writer.insert_into(tmp_duckdb, "t", df)
+    assert writer.delete_from(tmp_duckdb, "t", '"id" >= 7') == 3
+    assert writer.update(tmp_duckdb, "t", {"v": "upper(v)"}, '"id" < 2') == 2
+    got = {
+        r["id"]: r["v"]
+        for r in tmp_duckdb.query_arrow('SELECT * FROM "t"').to_pylist()
+    }
+    assert got[0] == "V0" and got[1] == "V1" and 7 not in got and len(got) == 7
+
+
+def test_on_conflict_sql_shapes():
+    cols = ["id", "a", "b"]
+    assert OnConflict.do_nothing_all().to_sql(cols, "duckdb") == "ON CONFLICT DO NOTHING"
+    assert (
+        OnConflict.upsert(["id"]).to_sql(cols, "duckdb")
+        == 'ON CONFLICT ("id") DO UPDATE SET "a" = EXCLUDED."a", "b" = EXCLUDED."b"'
+    )
+    assert (
+        OnConflict.upsert(["id"]).to_sql(cols, "mysql")
+        == "ON DUPLICATE KEY UPDATE `a` = VALUES(`a`), `b` = VALUES(`b`)"
+    )
+
+
+def test_indexes_created(spark, tmp_duckdb):
+    df = spark.createDataFrame([(1, "a")], SCHEMA)
+    writer.create_table(
+        tmp_duckdb, "t", df.schema, primary_keys=["id"], indexes={"v": False}
+    )
+    names = tmp_duckdb.query_arrow(
+        "SELECT index_name FROM duckdb_indexes()"
+    ).to_pylist()
+    assert any("idx_t_v" == r["index_name"] for r in names)
+
+
+def test_sort_limit_fixture(spark, tmp_duckdb):
+    """Exact expected outputs from the reference's pushdown test
+    (core/tests/postgres/mod.rs:204-289)."""
+    rows = [(i, f"row-{i:02d}") for i in range(1, 21)]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("label", T.StringType(), False),
+        ]
+    )
+    writer.insert_into(tmp_duckdb, "sort_limit_test", spark.createDataFrame(rows, schema))
+    top5 = tmp_duckdb.query_arrow(
+        'SELECT id FROM "sort_limit_test" ORDER BY id DESC LIMIT 5'
+    ).to_pylist()
+    assert [r["id"] for r in top5] == [20, 19, 18, 17, 16]
+    mid = tmp_duckdb.query_arrow(
+        'SELECT id FROM "sort_limit_test" WHERE id > 10 ORDER BY id ASC LIMIT 3'
+    ).to_pylist()
+    assert [r["id"] for r in mid] == [11, 12, 13]
+    bare = tmp_duckdb.query_arrow(
+        'SELECT id FROM "sort_limit_test" LIMIT 7'
+    ).to_pylist()
+    assert len(bare) == 7
