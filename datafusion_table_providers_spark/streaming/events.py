@@ -1,0 +1,175 @@
+"""Structured Streaming operators over the events stream.
+
+Reference context: Flight unbounded streams are passthrough-only in the
+reference (no stateful ops — SURVEY §2 'not present'); streaming *operators*
+are a beyond-parity addition built the Spark-native way:
+
+- ``event_stream``: file-source readStream (at scale: Kafka/Flight source —
+  same downstream API) with the nanos→micros normalization the batch path
+  uses;
+- ``windowed_counts``: event-time tumbling window + watermark — late data
+  beyond the watermark is dropped by Spark's state store;
+- ``sessionize_stateful``: custom session-window operator via
+  ``applyInPandasWithState`` (the reference has no analog; this is the
+  canonical Spark pattern for custom stateful operators);
+- ``run_available_now``: drain the stream with an availableNow trigger into
+  a memory sink — batch-vs-stream parity is asserted in tests (the same
+  aggregation over the same data must match the batch oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # raw nanos (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    stream: DataFrame, window: str = "6 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).start.alias("win_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_fn(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit closed sessions; keep the open session in state.
+
+    Event-time sessionization with a processing-time timeout as the flush
+    mechanism (canonical applyInPandasWithState pattern)."""
+    import datetime as dt
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [dt.datetime.utcfromtimestamp(start_us / 1e6)],
+                    "session_end": [dt.datetime.utcfromtimestamp(last_us / 1e6)],
+                    "n_events": [n],
+                }
+            )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts_us")
+    closed = []
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us, last_us, n = None, None, 0
+    for ts_us in rows["ts_us"]:
+        ts_us = int(ts_us)
+        if start_us is None:
+            start_us, last_us, n = ts_us, ts_us, 1
+        elif ts_us - last_us > GAP_US:
+            closed.append((start_us, last_us, n))
+            start_us, last_us, n = ts_us, ts_us, 1
+        else:
+            last_us, n = ts_us, n + 1
+    state.update((start_us, last_us, n))
+    state.setTimeoutDuration(60 * 1000)
+    if closed:
+        import datetime as dt
+
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [
+                    dt.datetime.utcfromtimestamp(s / 1e6) for s, _, _ in closed
+                ],
+                "session_end": [
+                    dt.datetime.utcfromtimestamp(e / 1e6) for _, e, _ in closed
+                ],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+
+def sessionize_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful session-window operator (applyInPandasWithState)."""
+    prepared = stream.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain with availableNow into a memory sink; return the result table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    return spark.table(name)
