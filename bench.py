@@ -46,6 +46,24 @@ def main():
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up the JVM / codegen / Python-worker pools so per-query timings
+    # measure the plans, not process startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    try:  # spin up the Python Data Source + pandas worker pools once
+        from datafusion_table_providers_spark.sources.backends import DuckDBBackend
+        from datafusion_table_providers_spark.sources.duckdb_source import (
+            duckdb_reader_df,
+        )
+
+        warm = DuckDBBackend(
+            parquet_tables={"nation": os.path.join(sf_dir, "nation.parquet")}
+        )
+        duckdb_reader_df(spark, warm, "nation").count()
+        spark.range(100).mapInPandas(lambda it: it, "id long").count()
+    except Exception as e:  # warmup must never fail the bench
+        print(f"# warmup skipped: {e}", file=sys.stderr)
+
     timings = {}
     for name in BENCH_QUERIES:
         case = FULL_SUITE[name]
