@@ -402,3 +402,50 @@ SUITE = {
         d04_ngram_jaccard, _D04_SQL, "n-gram Jaccard dedup"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Production-scale variants (JVM hashes, not oracle-portable)
+#
+# The oracle-checked operators above use md5 so DuckDB can replay them
+# bit-for-bit. At 100 TB the same pipelines should use Spark's native
+# xxhash64 (whole-stage-codegen, ~20× cheaper than md5-as-hex): identical
+# shuffle/join shapes, different hash family. These variants are exercised
+# by tests and the benchmark, not by the SQL oracle.
+
+
+def minhash_signatures_fast(df, text_col="text", n_hashes=N_HASHES):
+    """MinHash signatures via seeded xxhash64 — one JVM hash per (shingle,
+    seed), no hex strings. Returns (doc_id, mh0..mhN-1) with BIGINT minima."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    idx = F.when(
+        n >= SHINGLE_W, F.sequence(F.lit(1), n - (SHINGLE_W - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(SHINGLE_W)]
+                ),
+            )
+        ).alias("s"),
+    ).distinct()
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"mh{j}")
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def exact_dedup_fast(df, text_col="text"):
+    """Exact dedup on xxhash64(length, text) — 8-byte shuffle key."""
+    return (
+        df.groupBy(
+            F.xxhash64(F.length(text_col), F.col(text_col)).alias("text_hash")
+        )
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
