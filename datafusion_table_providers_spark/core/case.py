@@ -24,7 +24,14 @@ class QueryCase:
 
 
 def utc(spark: SparkSession) -> SparkSession:
-    """Pin session timezone so Spark timestamps collect identically to
-    DuckDB's naive timestamps (parquet values are stored tz-less)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark
+    """Apply engine session tuning (UTC timezone, AQE, Python-source filter
+    pushdown, Arrow batching) to whatever session invoked us.
+
+    The correctness driver owns its SparkSession, so every query entry point
+    must self-provision its runtime confs — most critically the UTC timezone
+    (timestamps must collect identically to DuckDB's naive values) and
+    ``spark.sql.python.filterPushdown.enabled`` (connector readers refuse to
+    run with pushFilters implemented but pushdown disabled)."""
+    from datafusion_table_providers_spark.session import tune_session
+
+    return tune_session(spark)

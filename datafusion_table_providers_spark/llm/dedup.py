@@ -51,28 +51,37 @@ FROM documents GROUP BY md5(text)
 
 
 # --- shared shingle builders ---------------------------------------------
-def _shingles_df(spark, sf_dir):
+def _shingles_df(spark, sf_dir, distinct: bool = True):
+    """Word 3-gram shingles per doc.
+
+    ``distinct=False`` skips the dedup shuffle — correct wherever the
+    consumer is duplicate-insensitive (MinHash ``min`` aggregates), which at
+    100 TB removes a full shuffle of every shingle string. Jaccard
+    set-arithmetic consumers must keep ``distinct=True``."""
     d = _t(spark, sf_dir, "documents")
+    # Small corpora arrive as one file split; the shingle explode + hashing
+    # is the expensive part, so spread the docs across the cluster first
+    # (at real scale the scan already has many splits and this coalesces
+    # into AQE's hands).
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = F.split("text", " ")
     n = F.size(toks)
     idx = F.when(
         n >= SHINGLE_W, F.sequence(F.lit(1), n - (SHINGLE_W - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.concat_ws(
-                        " ",
-                        *[F.element_at(toks, i + j) for j in range(SHINGLE_W)],
-                    ),
-                )
-            ).alias("s"),
-        )
-        .distinct()
+    out = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, i + j) for j in range(SHINGLE_W)],
+                ),
+            )
+        ).alias("s"),
     )
+    return out.distinct() if distinct else out
 
 
 _SHINGLES_SQL = f"""
@@ -85,7 +94,8 @@ _SHINGLES_SQL = f"""
 
 # --- d02: MinHash signatures + LSH band keys ------------------------------
 def _signature_df(spark, sf_dir):
-    sh = _shingles_df(spark, sf_dir)
+    # duplicate shingles cannot change a min() — skip the distinct shuffle
+    sh = _shingles_df(spark, sf_dir, distinct=False)
     aggs = [
         F.min(F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 16)).alias(
             f"mh{j}"
@@ -233,7 +243,9 @@ def _simhash_value_sql() -> str:
 
 
 def d03_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
