@@ -135,7 +135,11 @@ SELECT doc_id, {bands} FROM sig
 
 # --- d02b: LSH candidate pairs + exact-Jaccard verification ---------------
 def d02b_minhash_lsh_pairs(spark, sf_dir):
-    sig = _signature_df(spark, sf_dir)
+    # Materialize the (small) signature table before fanning it out into the
+    # 4-band union self-join: without the lineage cut, the full hash plan is
+    # embedded 8× in the join, and task/codegen size blows up. At scale this
+    # is exactly where you'd checkpoint the signature table anyway.
+    sig = _signature_df(spark, sf_dir).localCheckpoint(eager=True)
     # bucket join per band: docs sharing any full band key are candidates
     buckets = None
     for b in range(N_BANDS):
@@ -158,7 +162,7 @@ def d02b_minhash_lsh_pairs(spark, sf_dir):
         .distinct()
     )
     # exact verification on candidates only
-    sh = _shingles_df(spark, sf_dir)
+    sh = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("x")
@@ -227,11 +231,17 @@ _HEXVAL_CASE = (
 )
 
 
-def _bit_contrib_sql(bit: int) -> str:
-    """±1 contribution of md5-bit `bit` of column `w` (portable SQL)."""
-    nib = _HEXVAL_CASE.format(c=f"substr(md5(w), {1 + bit // 4}, 1)")
+def _nibble_sql(i: int) -> str:
+    """Integer value of hex digit i (1-based) of md5(w) — portable SQL."""
+    return _HEXVAL_CASE.format(c=f"substr(md5(w), {i}, 1)")
+
+
+def _bit_contrib_from_nib(bit: int) -> str:
+    """±1 contribution of md5-bit `bit`, reading a precomputed nibble column
+    (keeps the expression tree ~4× smaller than inlining the hex CASE per
+    bit — big plans OOM when self-joined)."""
     shift = 3 - bit % 4
-    return f"CASE WHEN (({nib}) >> {shift}) & 1 = 1 THEN 1 ELSE -1 END"
+    return f"(((nib{bit // 4} >> {shift}) & 1) * 2 - 1)"
 
 
 def _simhash_value_sql() -> str:
@@ -249,10 +259,17 @@ def d03_simhash(spark, sf_dir):
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
-    contrib = words.select(
+    nibs = words.select(
         "doc_id",
         *[
-            F.expr(_bit_contrib_sql(b)).alias(f"c{b}")
+            F.expr(_nibble_sql(i + 1)).alias(f"nib{i}")
+            for i in range(SIMHASH_BITS // 4)
+        ],
+    )
+    contrib = nibs.select(
+        "doc_id",
+        *[
+            F.expr(_bit_contrib_from_nib(b)).alias(f"c{b}")
             for b in range(SIMHASH_BITS)
         ],
     )
@@ -265,15 +282,19 @@ def d03_simhash(spark, sf_dir):
 
 
 def _d03_sql() -> str:
+    nibs = ", ".join(
+        f"{_nibble_sql(i + 1)} AS nib{i}" for i in range(SIMHASH_BITS // 4)
+    )
     contribs = ", ".join(
-        f"{_bit_contrib_sql(b)} AS c{b}" for b in range(SIMHASH_BITS)
+        f"{_bit_contrib_from_nib(b)} AS c{b}" for b in range(SIMHASH_BITS)
     )
     sums = ", ".join(f"SUM(c{b}) AS s{b}" for b in range(SIMHASH_BITS))
     return f"""
 WITH words AS (
   SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
 ),
-contrib AS (SELECT doc_id, {contribs} FROM words),
+nibs AS (SELECT doc_id, {nibs} FROM words),
+contrib AS (SELECT doc_id, {contribs} FROM nibs),
 sums AS (SELECT doc_id, {sums} FROM contrib GROUP BY doc_id)
 SELECT doc_id, {_simhash_value_sql()} AS simhash FROM sums
 """
@@ -284,7 +305,8 @@ HAMMING_MAX = 3
 
 
 def d03b_simhash_pairs(spark, sf_dir):
-    sig = d03_simhash(spark, sf_dir)
+    # lineage cut before the 4-way band union self-join (see d02b)
+    sig = d03_simhash(spark, sf_dir).localCheckpoint(eager=True)
     banded = sig.select(
         "doc_id",
         "simhash",
@@ -344,7 +366,7 @@ MIN_SHARED = 2
 
 
 def d04_ngram_jaccard(spark, sf_dir):
-    sh = _shingles_df(spark, sf_dir)
+    sh = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
     rare = (
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))

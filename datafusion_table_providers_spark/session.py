@@ -40,7 +40,13 @@ TUNING = {
 def get_spark(app_name: str = "datafusion_table_providers_spark") -> SparkSession:
     """Build (or reuse) a tuned SparkSession on local[$SPARK_GRAFT_CPUS]."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # JVM-launch-time settings (ignored on an already-running session):
+        # 32 concurrent tasks deserializing wide plans need real heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
     for k, v in TUNING.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
