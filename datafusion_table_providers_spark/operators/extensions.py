@@ -1,0 +1,201 @@
+"""Extended operators Spark lacks as named primitives (SURVEY §2 'custom
+operators' guidance): as-of join, range join, percentiles, stats aggregates,
+histograms. Each is (a) a composition of existing DataFrame ops — never a
+Python UDF — and (b) written in its scale-correct shape:
+
+- **as-of join** uses the union + last-non-null-over-window trick: one sort
+  per user partition instead of a per-row backward scan; at 100 TB this is a
+  single shuffle on the partition key (the same plan DuckDB's native
+  ASOF JOIN compiles to — which is exactly what the oracle uses).
+- **range join** buckets event-time into interval-width cells and equi-joins
+  on (key, cell±1) before the exact range filter — turning an O(n·m) theta
+  join into a hash join with constant fan-out.
+- percentile/stats/histogram are plain portable aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from datafusion_table_providers_spark.core.case import QueryCase
+from datafusion_table_providers_spark.operators.relational import _r, _rsql, _t
+
+
+# --- e01: as-of join (each click ↔ most recent signup of the same user) ---
+def e01_asof_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click")
+    signups = e.filter(F.col("event_type") == "signup")
+    # union with a marker; signups sort before clicks at equal ts (inclusive)
+    tagged = clicks.select(
+        "user_id", "ts_us", F.lit(1).alias("is_click"), "event_id"
+    ).unionByName(
+        signups.select(
+            "user_id", "ts_us", F.lit(0).alias("is_click"), "event_id"
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_asof = tagged.withColumn(
+        "signup_ts_us",
+        F.last(
+            F.when(F.col("is_click") == 0, F.col("ts_us")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        with_asof.filter(F.col("is_click") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "signup_ts_us",
+            (F.col("ts_us") - F.col("signup_ts_us")).alias("gap_us"),
+        )
+    )
+
+
+E01_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+signups AS (SELECT * FROM e WHERE event_type = 'signup')
+SELECT c.event_id, c.user_id, c.ts_us,
+       s.ts_us AS signup_ts_us,
+       c.ts_us - s.ts_us AS gap_us
+FROM clicks c ASOF LEFT JOIN signups s
+  ON c.user_id = s.user_id AND c.ts_us >= s.ts_us
+"""
+
+
+# --- e02: range join (events within ±1h of each error, bucketed) ----------
+RANGE_US = 3_600 * 1_000_000
+
+
+def e02_range_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts_us").alias("err_us"),
+    )
+    # bucket both sides by interval width; an in-range pair differs by ≤1 cell
+    others = e.withColumn("bucket", F.expr(f"ts_us div {RANGE_US}"))
+    err_b = errors.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"err_us div {RANGE_US} - 1"),
+                F.expr(f"err_us div {RANGE_US}"),
+                F.expr(f"err_us div {RANGE_US} + 1"),
+            )
+        ),
+    )
+    joined = err_b.join(
+        others,
+        (F.col("err_user") == F.col("user_id"))
+        & (err_b.bucket == others.bucket)
+        & (F.col("event_id") != F.col("err_id"))
+        & (F.abs(F.col("ts_us") - F.col("err_us")) <= RANGE_US),
+    )
+    return joined.groupBy("err_id", "err_user").agg(
+        F.count("*").alias("n_nearby")
+    )
+
+
+E02_SQL = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events)
+SELECT err.event_id AS err_id, err.user_id AS err_user, COUNT(*) AS n_nearby
+FROM e err JOIN e o
+  ON err.user_id = o.user_id
+ AND o.event_id <> err.event_id
+ AND ABS(o.ts_us - err.ts_us) <= {RANGE_US}
+WHERE err.event_type = 'error'
+GROUP BY 1, 2
+"""
+
+
+# --- e03: percentiles (continuous interpolation) --------------------------
+def e03_percentiles(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        _r(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        _r(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        _r(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+E03_SQL = f"""
+SELECT event_type,
+       {_rsql('quantile_cont(value, 0.5)', 6)} AS p50,
+       {_rsql('quantile_cont(value, 0.9)', 6)} AS p90,
+       {_rsql('quantile_cont(value, 0.99)', 6)} AS p99
+FROM events GROUP BY event_type
+"""
+
+
+# --- e04: statistical aggregates ------------------------------------------
+def e04_stats(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        _r(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        _r(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        _r(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        _r(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_cov"),
+        F.expr("count_if(l_discount > 0.05)").alias("n_big_disc"),
+    )
+
+
+E04_SQL = f"""
+SELECT l_returnflag,
+       {_rsql('stddev_samp(l_extendedprice)', 4)} AS price_sd,
+       {_rsql('var_samp(l_quantity)', 4)} AS qty_var,
+       {_rsql('corr(l_extendedprice, l_quantity)', 6)} AS price_qty_corr,
+       {_rsql('covar_samp(l_discount, l_tax)', 8)} AS disc_tax_cov,
+       count_if(l_discount > 0.05) AS n_big_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- e06: histogram / binning ---------------------------------------------
+N_BINS = 20
+BIN_W = 5.0
+
+
+def e06_histogram(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / BIN_W), F.lit(N_BINS - 1)
+    ).cast("int")
+    return (
+        e.groupBy(bucket.alias("bin"))
+        .agg(F.count("*").alias("n"), _r(F.avg("value"), 6).alias("bin_avg"))
+    )
+
+
+E06_SQL = f"""
+SELECT CAST(LEAST(FLOOR(value / {BIN_W}), {N_BINS - 1}) AS INTEGER) AS bin,
+       COUNT(*) AS n, {_rsql('AVG(value)', 6)} AS bin_avg
+FROM events GROUP BY 1
+"""
+
+
+SUITE = {
+    "e01_asof_join": QueryCase(e01_asof_join, E01_SQL, "as-of join via window"),
+    "e02_range_join": QueryCase(e02_range_join, E02_SQL, "bucketed range join"),
+    "e03_percentiles": QueryCase(e03_percentiles, E03_SQL, "continuous percentiles"),
+    "e04_stats": QueryCase(e04_stats, E04_SQL, "stddev/var/corr/covar/count_if"),
+    "e06_histogram": QueryCase(e06_histogram, E06_SQL, "histogram binning"),
+}

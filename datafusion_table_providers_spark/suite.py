@@ -20,6 +20,7 @@ FULL_SUITE.update(relational.SUITE)
 # Optional suites are registered as they land; a broken import of one suite
 # must not take down the whole correctness gate.
 for _mod, _attr in [
+    ("datafusion_table_providers_spark.operators.extensions", "SUITE"),
     ("datafusion_table_providers_spark.llm.dedup", "SUITE"),
     ("datafusion_table_providers_spark.llm.similarity", "SUITE"),
     ("datafusion_table_providers_spark.llm.text", "SUITE"),
