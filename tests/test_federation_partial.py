@@ -1,0 +1,95 @@
+"""Partial-subtree federation tests: maximal same-context subtrees run as
+ONE remote SQL; Spark executes the cross-source remainder
+(federation.rs:62-110 semantics)."""
+
+from pyspark.sql import types as T
+
+from datafusion_table_providers_spark.federation import (
+    FederationPlan,
+    materialize,
+    table,
+)
+from datafusion_table_providers_spark.sources.backends import (
+    DuckDBBackend,
+    SQLiteBackend,
+)
+from datafusion_table_providers_spark.write import writer
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def _setup(spark, tmp_path):
+    duck = DuckDBBackend(str(tmp_path / "fed.duckdb"))
+    writer.insert_into(
+        duck, "t1",
+        spark.createDataFrame([(i, f"g{i % 3}", float(i)) for i in range(30)], SCHEMA),
+    )
+    writer.insert_into(
+        duck, "t2",
+        spark.createDataFrame([(i, f"g{i % 3}", i * 2.0) for i in range(30)], SCHEMA),
+    )
+    lite = SQLiteBackend(str(tmp_path / "fed.db"))
+    writer.insert_into(
+        lite, "t3",
+        spark.createDataFrame([(i, f"g{i % 3}", i * 10.0) for i in range(3)], SCHEMA),
+    )
+    return duck, lite
+
+
+def test_same_context_join_pushed_as_one_sql(spark, tmp_path):
+    duck, _ = _setup(spark, tmp_path)
+    plan = FederationPlan()
+    # project to stable names first — join conditions reference those
+    rel = (
+        table("t1", duck).select("id AS lid", "grp AS lgrp")
+        .join(table("t2", duck).select("id AS rid", "v AS rv"), on="lid = rid")
+        .agg(["lgrp"], "COUNT(*) AS n", "SUM(rv) AS sv")
+    )
+    df = materialize(spark, rel, explain=plan)
+    rows = {r["lgrp"]: (r["n"], r["sv"]) for r in df.collect()}
+    assert rows == {"g0": (10, 270.0), "g1": (10, 290.0), "g2": (10, 310.0)}
+    assert len(plan.pushed) == 1  # whole tree → ONE remote statement
+    assert "JOIN" in plan.pushed[0][1]
+    assert plan.remainder_sql is None
+
+
+def test_cross_source_remainder_in_spark(spark, tmp_path):
+    duck, lite = _setup(spark, tmp_path)
+    plan = FederationPlan()
+    duck_side = (
+        table("t1", duck).select("id AS did", "grp AS dgrp")
+        .join(table("t2", duck).select("id AS oid", "v AS ov"), on="did = oid")
+        .agg(["dgrp"], "SUM(ov) AS duck_sum")
+    )
+    lite_side = table("t3", lite).select("grp AS sgrp", "v AS sv")
+    rel = duck_side.join(lite_side, on="dgrp = sgrp")
+    df = materialize(spark, rel, explain=plan)
+    got = {(r["dgrp"]): (r["duck_sum"], r["sv"]) for r in df.collect()}
+    assert got == {"g0": (270.0, 0.0), "g1": (290.0, 10.0), "g2": (310.0, 20.0)}
+    # two pushed fragments (one per context), remainder join in Spark
+    ctxs = {c for c, _ in plan.pushed}
+    assert len(plan.pushed) == 2 and len(ctxs) == 2
+    assert plan.remainder_sql is not None and "JOIN" in plan.remainder_sql
+
+
+def test_spark_native_leaf_poisons_pushdown(spark, tmp_path):
+    duck, _ = _setup(spark, tmp_path)
+    spark.createDataFrame(
+        [(0, "g0"), (1, "g1")], "nid long, ngrp string"
+    ).createOrReplaceTempView("native_t")
+    plan = FederationPlan()
+    rel = (
+        table("t1", duck).select("id AS did", "grp AS dgrp")
+        .join(table("native_t"), on="dgrp = ngrp")
+        .agg(["ngrp"], "COUNT(*) AS n")
+    )
+    df = materialize(spark, rel, explain=plan)
+    got = {r["ngrp"]: r["n"] for r in df.collect()}
+    assert got == {"g0": 10, "g1": 10}
+    assert len(plan.pushed) == 1  # only the duckdb projection was pushed
