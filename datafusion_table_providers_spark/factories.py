@@ -1,0 +1,214 @@
+"""User-facing table factories — the reference's public Python API, on Spark.
+
+Mirrors python/python/datafusion_table_providers/*.py (duckdb.py:30-62,
+sqlite.py, postgres.py, mysql.py, mongodb.py, flight.py): each backend has a
+``XTableFactory`` with ``tables()`` and ``get_table(name)``. There, the
+factory returns an FFI TableProvider capsule registered into a DataFusion
+``SessionContext``; here it returns a **Spark DataFrame** backed by the
+corresponding connector, and ``register_all`` wires every table into an
+``Engine`` (the SessionContext analog) so ``engine.sql`` can federate.
+
+Usage (reference example python/examples/duckdb_demo.py, translated):
+
+    factory = DuckDBTableFactory("/data/wh.duckdb", AccessMode.ReadOnly)
+    eng = Engine(spark)
+    for name in factory.tables():
+        eng.register_backend_table(name, factory.backend, name)
+    eng.sql("SELECT ... FROM t1 JOIN t2 ON ...")   # pushed as one SQL
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_table_providers_spark.engine import Engine
+from datafusion_table_providers_spark.sources.backends import (
+    DuckDBBackend,
+    SQLiteBackend,
+)
+
+
+class AccessMode(Enum):
+    """Python equivalent of the reference's duckdb AccessMode enum."""
+
+    Automatic = "AUTOMATIC"
+    ReadOnly = "READ_ONLY"
+    ReadWrite = "READ_WRITE"
+
+
+class _SparkFactory:
+    """Shared: factories hold a SparkSession lazily; get_table returns a
+    DataFrame (the Spark analog of a TableProvider)."""
+
+    def __init__(self):
+        self._spark: Optional[SparkSession] = None
+
+    def _session(self) -> SparkSession:
+        if self._spark is None:
+            from datafusion_table_providers_spark.session import get_spark
+
+            self._spark = get_spark()
+        return self._spark
+
+    def with_session(self, spark: SparkSession):
+        self._spark = spark
+        return self
+
+
+class DuckDBTableFactory(_SparkFactory):
+    """DuckDB table factory (reference duckdb.py:30-62)."""
+
+    def __init__(self, path: str = ":memory:",
+                 access_mode: AccessMode = AccessMode.Automatic):
+        super().__init__()
+        self.path = path or ":memory:"
+        self.backend = DuckDBBackend(
+            self.path, read_only=access_mode == AccessMode.ReadOnly
+        )
+
+    def tables(self) -> List[str]:
+        return self.backend.table_names()
+
+    def get_table(self, table_reference: str) -> DataFrame:
+        from datafusion_table_providers_spark.sources.duckdb_source import (
+            duckdb_reader_df,
+        )
+
+        if self.path == ":memory:":
+            return self._session().createDataFrame(
+                self.backend.query_arrow(f'SELECT * FROM "{table_reference}"')
+            )
+        self.backend.close()
+        return duckdb_reader_df(self._session(), self.backend, table_reference)
+
+    def register_all(self, engine: Engine) -> List[str]:
+        names = self.tables()
+        for n in names:
+            engine.register_backend_table(n, self.backend, n)
+        return names
+
+
+class SqliteTableFactory(_SparkFactory):
+    """SQLite table factory (reference sqlite.py — path, mode,
+    busy_timeout_s, attach_databases)."""
+
+    def __init__(self, path: str, mode: str = "file",
+                 busy_timeout_s: float = 5.0,
+                 attach_databases: Optional[List[str]] = None):
+        super().__init__()
+        self.backend = SQLiteBackend(
+            path if mode != "memory" else ":memory:",
+            attach=tuple(attach_databases or ()),
+        )
+        self.busy_timeout_s = busy_timeout_s
+
+    def tables(self) -> List[str]:
+        return self.backend.table_names()
+
+    def get_table(self, table_reference: str) -> DataFrame:
+        from datafusion_table_providers_spark.sources.sqlite_source import (
+            sqlite_reader_df,
+        )
+
+        return sqlite_reader_df(self._session(), self.backend, table_reference)
+
+    def register_all(self, engine: Engine) -> List[str]:
+        names = self.tables()
+        for n in names:
+            engine.register_backend_table(n, self.backend, n)
+        return names
+
+
+class PostgresTableFactory(_SparkFactory):
+    """Postgres table factory (reference postgres.py — params dict with
+    host/user/db/pass/port/sslmode). Scans go through Spark's JDBC source."""
+
+    def __init__(self, params: Dict[str, str]):
+        super().__init__()
+        from datafusion_table_providers_spark.sources.remote_sql import (
+            RemoteSqlBackend,
+        )
+
+        self.backend = RemoteSqlBackend(
+            "postgres",
+            params.get("host", "localhost"),
+            int(params.get("port", 5432)),
+            params.get("db", params.get("database", "postgres")),
+            params.get("user", "postgres"),
+            password_provider=(lambda: params["pass"]) if "pass" in params else None,
+        )
+
+    def get_table(self, table_reference: str, **partitioning) -> DataFrame:
+        return self.backend.reader_df(self._session(), table_reference, **partitioning)
+
+
+class MySQLTableFactory(PostgresTableFactory):
+    """MySQL table factory (reference mysql.py)."""
+
+    def __init__(self, params: Dict[str, str]):
+        _SparkFactory.__init__(self)
+        from datafusion_table_providers_spark.sources.remote_sql import (
+            RemoteSqlBackend,
+        )
+
+        self.backend = RemoteSqlBackend(
+            "mysql",
+            params.get("host", "localhost"),
+            int(params.get("port", 3306)),
+            params.get("db", params.get("database", "mysql")),
+            params.get("user", "root"),
+            password_provider=(lambda: params["pass"]) if "pass" in params else None,
+        )
+
+
+class MongoDBTableFactory(_SparkFactory):
+    """MongoDB table factory (reference mongodb.py) — requires pymongo."""
+
+    def __init__(self, params: Dict[str, str]):
+        super().__init__()
+        self.uri = params.get(
+            "connection_string",
+            f"mongodb://{params.get('host', 'localhost')}:{params.get('port', 27017)}",
+        )
+        self.database = params.get("db", params.get("database", "test"))
+
+    def get_table(self, table_reference: str) -> DataFrame:
+        from datafusion_table_providers_spark.sources.mongodb_source import (
+            HAS_PYMONGO,
+        )
+
+        if not HAS_PYMONGO:
+            raise ImportError("pymongo is required for MongoDBTableFactory")
+        from datafusion_table_providers_spark.sources import mongodb_source
+
+        spark = self._session()
+        spark.dataSource.register(mongodb_source.MongoDataSource)
+        return (
+            spark.read.format("mongodb_engine")
+            .option("uri", self.uri)
+            .option("database", self.database)
+            .option("collection", table_reference)
+            .load()
+        )
+
+
+class FlightTableFactory(_SparkFactory):
+    """Flight table factory (reference flight.py — get_table(entry_point,
+    options))."""
+
+    def get_table(self, entry_point: str, options: Optional[Dict[str, Any]] = None) -> DataFrame:
+        from datafusion_table_providers_spark.sources.flight_source import (
+            flight_reader_df,
+        )
+
+        options = options or {}
+        return flight_reader_df(
+            self._session(),
+            entry_point,
+            query=options.get("flight.sql.query") or options.get("query"),
+            path=options.get("path"),
+            headers=options.get("headers"),
+        )

@@ -1,0 +1,93 @@
+"""Public factory API tests — signature parity with the reference's Python
+surface (python/python/datafusion_table_providers/*.py)."""
+
+import threading
+
+import pyarrow as pa
+import pyarrow.flight as flight
+import pytest
+from pyspark.sql import types as T
+
+from datafusion_table_providers_spark.engine import Engine
+from datafusion_table_providers_spark.factories import (
+    AccessMode,
+    DuckDBTableFactory,
+    FlightTableFactory,
+    SqliteTableFactory,
+)
+from datafusion_table_providers_spark.write import writer
+
+SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType(), False), T.StructField("v", T.StringType())]
+)
+
+
+def test_duckdb_factory_tables_and_get_table(spark, tmp_path):
+    path = str(tmp_path / "f.duckdb")
+    from datafusion_table_providers_spark.sources.backends import DuckDBBackend
+
+    b = DuckDBBackend(path)
+    writer.insert_into(b, "people", spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    writer.insert_into(b, "pets", spark.createDataFrame([(1, "rex")], SCHEMA))
+    b.close()
+
+    factory = DuckDBTableFactory(path, AccessMode.ReadOnly).with_session(spark)
+    assert sorted(factory.tables()) == ["people", "pets"]
+    df = factory.get_table("people")
+    assert df.count() == 2
+
+    eng = Engine(spark)
+    names = factory.register_all(eng)
+    assert sorted(names) == ["people", "pets"]
+    out = eng.sql("SELECT COUNT(*) AS n FROM people JOIN pets ON people.id = pets.id")
+    assert out.collect()[0]["n"] == 1
+    assert eng.explain_federation("SELECT * FROM people JOIN pets ON 1=1").startswith(
+        "federated"
+    )
+
+
+def test_duckdb_factory_memory(spark):
+    factory = DuckDBTableFactory().with_session(spark)
+    factory.backend.execute("CREATE TABLE m AS SELECT 42 AS x")
+    assert factory.tables() == ["m"]
+    assert factory.get_table("m").collect()[0]["x"] == 42
+
+
+def test_sqlite_factory(spark, tmp_path):
+    path = str(tmp_path / "f.db")
+    from datafusion_table_providers_spark.sources.backends import SQLiteBackend
+
+    b = SQLiteBackend(path)
+    writer.insert_into(b, "t", spark.createDataFrame([(1, "x")], SCHEMA))
+    factory = SqliteTableFactory(path).with_session(spark)
+    assert factory.tables() == ["t"]
+    assert factory.get_table("t").count() == 1
+
+
+class OneShotServer(flight.FlightServerBase):
+    def __init__(self):
+        super().__init__("grpc://127.0.0.1:0")
+        self.table = pa.table({"id": pa.array([1, 2, 3], pa.int64())})
+
+    def get_flight_info(self, context, descriptor):
+        return flight.FlightInfo(
+            self.table.schema, descriptor,
+            [flight.FlightEndpoint(b"t", [])], -1, -1,
+        )
+
+    def do_get(self, context, ticket):
+        return flight.RecordBatchStream(self.table)
+
+
+def test_flight_factory(spark):
+    s = OneShotServer()
+    threading.Thread(target=s.serve, daemon=True).start()
+    try:
+        factory = FlightTableFactory().with_session(spark)
+        df = factory.get_table(
+            f"grpc://127.0.0.1:{s.port}",
+            {"flight.sql.query": "SELECT * FROM anything"},
+        )
+        assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+    finally:
+        s.shutdown()
