@@ -192,3 +192,83 @@ def test_ddl_generation():
     )
     lite = create_table_ddl("t", schema, "sqlite")
     assert lite == 'CREATE TABLE "t" ("id" INTEGER NOT NULL, "tags" TEXT)'
+
+
+def test_interval_duration_roundtrip(spark, tmp_duckdb):
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("d", T.DayTimeIntervalType()),
+        ]
+    )
+    rows = [
+        (dt.timedelta(days=1, hours=2, seconds=3, microseconds=4),),
+        (dt.timedelta(seconds=-5),),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    writer.insert_into(tmp_duckdb, "t_iv", df)
+    got = tmp_duckdb.query_arrow('SELECT * FROM "t_iv"').column("d").to_pylist()
+
+    def _ns(v):  # DuckDB returns Arrow MonthDayNano; compare as duration
+        if v is None:
+            return None
+        if isinstance(v, dt.timedelta):
+            return int(v.total_seconds() * 1e9)
+        return v.months * 2_592_000_000_000_000 + v.days * 86_400_000_000_000 + v.nanoseconds
+
+    want = {
+        int(dt.timedelta(days=1, hours=2, seconds=3, microseconds=4).total_seconds() * 1e9),
+        int(dt.timedelta(seconds=-5).total_seconds() * 1e9),
+        None,
+    }
+    assert {_ns(v) for v in got} == want
+
+
+def test_unsigned_and_dictionary_from_arrow(spark, tmp_duckdb):
+    """Arrow-side types with no Spark native: unsigned widens, uint64→
+    Decimal(20,0), dictionary decodes (write.rs:997 analog)."""
+    import pyarrow as pa
+
+    from datafusion_table_providers_spark.core.types import arrow_to_spark_schema
+
+    schema = pa.schema(
+        [
+            pa.field("u8", pa.uint8()),
+            pa.field("u32", pa.uint32()),
+            pa.field("u64", pa.uint64()),
+            pa.field("dict", pa.dictionary(pa.int8(), pa.string())),
+            pa.field("t", pa.time64("us")),
+        ]
+    )
+    s = arrow_to_spark_schema(schema)
+    got = {f.name: f.dataType.simpleString() for f in s.fields}
+    assert got == {
+        "u8": "smallint",
+        "u32": "bigint",
+        "u64": "decimal(20,0)",
+        "dict": "string",
+        "t": "bigint",
+    }
+
+
+def test_duckdb_enum_dictionary_scan(spark, tmp_duckdb):
+    """DuckDB enum columns arrive dictionary-encoded; the connector must
+    decode to plain strings (enforce_schema/_target_schema path)."""
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    tmp_duckdb.execute("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    tmp_duckdb.execute(
+        "CREATE TABLE moods (id INTEGER, m mood)"
+    )
+    tmp_duckdb.execute(
+        "INSERT INTO moods VALUES (1, 'sad'), (2, 'happy'), (3, NULL)"
+    )
+    tmp_duckdb.close()
+    df = duckdb_reader_df(spark, tmp_duckdb, "moods")
+    assert df.schema["m"].dataType.typeName() == "string"
+    got = {r["id"]: r["m"] for r in df.collect()}
+    assert got == {1: "sad", 2: "happy", 3: None}
