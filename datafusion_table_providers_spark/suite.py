@@ -21,6 +21,7 @@ FULL_SUITE.update(relational.SUITE)
 # must not take down the whole correctness gate.
 for _mod, _attr in [
     ("datafusion_table_providers_spark.operators.extensions", "SUITE"),
+    ("datafusion_table_providers_spark.operators.tpch", "SUITE"),
     ("datafusion_table_providers_spark.llm.dedup", "SUITE"),
     ("datafusion_table_providers_spark.llm.similarity", "SUITE"),
     ("datafusion_table_providers_spark.llm.text", "SUITE"),
