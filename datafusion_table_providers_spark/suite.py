@@ -22,6 +22,7 @@ FULL_SUITE.update(relational.SUITE)
 for _mod, _attr in [
     ("datafusion_table_providers_spark.operators.extensions", "SUITE"),
     ("datafusion_table_providers_spark.operators.tpch", "SUITE"),
+    ("datafusion_table_providers_spark.operators.tpch2", "SUITE"),
     ("datafusion_table_providers_spark.llm.dedup", "SUITE"),
     ("datafusion_table_providers_spark.llm.similarity", "SUITE"),
     ("datafusion_table_providers_spark.llm.text", "SUITE"),
