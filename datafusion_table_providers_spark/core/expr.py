@@ -73,9 +73,54 @@ class MySQLDialect(Dialect):
     quote_char = "`"
 
 
+class ClickHouseDialect(Dialect):
+    """ClickHouse: backtick identifiers, function-style temporal literals
+    (`TIMESTAMP '...'` keyword syntax is not ClickHouse SQL), `unhex` for
+    binary. Read-path only, mirroring the reference's clickhouse crate
+    (crates/clickhouse has no write.rs)."""
+
+    name = "clickhouse"
+    quote_char = "`"
+
+    def literal(self, value) -> str:
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, dt.datetime):
+            return f"toDateTime64('{value.isoformat(sep=' ')}', 6)"
+        if isinstance(value, dt.date) and not isinstance(value, dt.datetime):
+            return f"toDate32('{value.isoformat()}')"
+        if isinstance(value, bytes):
+            return f"unhex('{value.hex()}')"
+        return super().literal(value)
+
+
+class ODBCDialect(Dialect):
+    """Driver-agnostic passthrough (crates/odbc): the remote engine behind an
+    ODBC DSN is unknown, so only ANSI-portable SQL is generated and every
+    non-trivial filter stays 'Inexact' (re-checked by Spark)."""
+
+    name = "odbc"
+
+
+class ADBCDialect(Dialect):
+    """Arrow-native driver passthrough (crates/adbc). ANSI SQL generation;
+    results arrive as Arrow batches from the driver itself."""
+
+    name = "adbc"
+
+
 DIALECTS = {
     d.name: d()
-    for d in (Dialect, DuckDBDialect, SQLiteDialect, PostgresDialect, MySQLDialect)
+    for d in (
+        Dialect,
+        DuckDBDialect,
+        SQLiteDialect,
+        PostgresDialect,
+        MySQLDialect,
+        ClickHouseDialect,
+        ODBCDialect,
+        ADBCDialect,
+    )
 }
 
 

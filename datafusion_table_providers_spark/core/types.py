@@ -148,7 +148,96 @@ _SQLITE_SIMPLE = {
 }
 
 
+_POSTGRES_SIMPLE = {
+    T.ByteType: "SMALLINT",  # pg has no 1-byte int
+    T.ShortType: "SMALLINT",
+    T.IntegerType: "INTEGER",
+    T.LongType: "BIGINT",
+    T.FloatType: "REAL",
+    T.DoubleType: "DOUBLE PRECISION",
+    T.BooleanType: "BOOLEAN",
+    T.StringType: "TEXT",
+    T.BinaryType: "BYTEA",
+    T.DateType: "DATE",
+    T.TimestampType: "TIMESTAMPTZ",
+    T.TimestampNTZType: "TIMESTAMP",
+    T.DayTimeIntervalType: "INTERVAL",
+    T.YearMonthIntervalType: "INTERVAL",
+}
+
+_MYSQL_SIMPLE = {
+    T.ByteType: "TINYINT",
+    T.ShortType: "SMALLINT",
+    T.IntegerType: "INT",
+    T.LongType: "BIGINT",
+    T.FloatType: "FLOAT",
+    T.DoubleType: "DOUBLE",
+    T.BooleanType: "BOOLEAN",
+    T.StringType: "TEXT",
+    T.BinaryType: "BLOB",
+    T.DateType: "DATE",
+    T.TimestampType: "TIMESTAMP(6)",
+    T.TimestampNTZType: "DATETIME(6)",
+}
+
+_CLICKHOUSE_SIMPLE = {
+    T.ByteType: "Int8",
+    T.ShortType: "Int16",
+    T.IntegerType: "Int32",
+    T.LongType: "Int64",
+    T.FloatType: "Float32",
+    T.DoubleType: "Float64",
+    T.BooleanType: "Bool",
+    T.StringType: "String",
+    T.BinaryType: "String",
+    T.DateType: "Date32",
+    T.TimestampType: "DateTime64(6)",
+    T.TimestampNTZType: "DateTime64(6)",
+}
+
+
 def spark_type_to_ddl(dt: T.DataType, dialect_name: str) -> str:
+    if dialect_name in ("ansi", "odbc", "adbc"):
+        # driver-agnostic passthrough dialects emit ANSI names (the duckdb
+        # matrix is the ANSI core)
+        dialect_name = "duckdb"
+    if dialect_name == "postgres":
+        if isinstance(dt, T.DecimalType):
+            return f"NUMERIC({dt.precision},{dt.scale})"
+        if isinstance(dt, T.ArrayType):
+            return spark_type_to_ddl(dt.elementType, dialect_name) + "[]"
+        if isinstance(dt, (T.StructType, T.MapType)):
+            return "JSONB"  # composite/dynamic → JSONB (schema.rs:90 analog)
+        simple = _POSTGRES_SIMPLE.get(type(dt))
+        if simple:
+            return simple
+    elif dialect_name == "mysql":
+        if isinstance(dt, T.DecimalType):
+            return f"DECIMAL({dt.precision},{dt.scale})"
+        if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+            return "JSON"  # nested stored as JSON (statement.rs:82-104)
+        simple = _MYSQL_SIMPLE.get(type(dt))
+        if simple:
+            return simple
+    elif dialect_name == "clickhouse":
+        if isinstance(dt, T.DecimalType):
+            return f"Decimal({dt.precision},{dt.scale})"
+        if isinstance(dt, T.ArrayType):
+            return f"Array({spark_type_to_ddl(dt.elementType, dialect_name)})"
+        if isinstance(dt, T.StructType):
+            inner = ", ".join(
+                f"`{f.name}` {spark_type_to_ddl(f.dataType, dialect_name)}"
+                for f in dt.fields
+            )
+            return f"Tuple({inner})"
+        if isinstance(dt, T.MapType):
+            return (
+                f"Map({spark_type_to_ddl(dt.keyType, dialect_name)}, "
+                f"{spark_type_to_ddl(dt.valueType, dialect_name)})"
+            )
+        simple = _CLICKHOUSE_SIMPLE.get(type(dt))
+        if simple:
+            return simple
     if dialect_name == "duckdb":
         if isinstance(dt, T.DecimalType):
             return f"DECIMAL({dt.precision},{dt.scale})"
@@ -187,15 +276,39 @@ def create_table_ddl(
     if_not_exists: bool = False,
 ) -> str:
     """CREATE TABLE from a Spark schema (CreateTableBuilder,
-    statement.rs:37-142 — incl. PK clause :127-134)."""
+    statement.rs:37-142 — incl. PK clause :127-134). Identifier quoting and
+    nullability follow the target dialect (ClickHouse: columns are
+    non-nullable unless wrapped in Nullable(...), and a table ENGINE is
+    mandatory)."""
+    from datafusion_table_providers_spark.core.expr import DIALECTS
+
+    q = DIALECTS.get(dialect_name, DIALECTS["ansi"]).quote_ident
+    ch = dialect_name == "clickhouse"
     cols: List[str] = []
     for f in schema.fields:
-        col = f'"{f.name}" {spark_type_to_ddl(f.dataType, dialect_name)}'
-        if not f.nullable:
-            col += " NOT NULL"
+        ty = spark_type_to_ddl(f.dataType, dialect_name)
+        if ch:
+            nestable = isinstance(
+                f.dataType, (T.ArrayType, T.StructType, T.MapType)
+            )
+            if f.nullable and not nestable:  # CH forbids Nullable(composite)
+                ty = f"Nullable({ty})"
+            col = f"{q(f.name)} {ty}"
+        else:
+            col = f"{q(f.name)} {ty}"
+            if not f.nullable:
+                col += " NOT NULL"
         cols.append(col)
-    if primary_keys:
-        pk = ", ".join(f'"{k}"' for k in primary_keys)
+    if primary_keys and not ch:
+        pk = ", ".join(q(k) for k in primary_keys)
         cols.append(f"PRIMARY KEY ({pk})")
     ine = "IF NOT EXISTS " if if_not_exists else ""
-    return f'CREATE TABLE {ine}"{table}" ({", ".join(cols)})'
+    ddl = f'CREATE TABLE {ine}{q(table)} ({", ".join(cols)})'
+    if ch:
+        order = (
+            "(" + ", ".join(q(k) for k in primary_keys) + ")"
+            if primary_keys
+            else "tuple()"
+        )
+        ddl += f" ENGINE = MergeTree ORDER BY {order}"
+    return ddl

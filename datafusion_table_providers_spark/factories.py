@@ -1,7 +1,8 @@
 """User-facing table factories — the reference's public Python API, on Spark.
 
 Mirrors python/python/datafusion_table_providers/*.py (duckdb.py:30-62,
-sqlite.py, postgres.py, mysql.py, mongodb.py, flight.py): each backend has a
+sqlite.py, postgres.py, mysql.py, clickhouse.py, odbc.py, mongodb.py,
+flight.py): each backend has a
 ``XTableFactory`` with ``tables()`` and ``get_table(name)``. There, the
 factory returns an FFI TableProvider capsule registered into a DataFusion
 ``SessionContext``; here it returns a **Spark DataFrame** backed by the
@@ -162,6 +163,64 @@ class MySQLTableFactory(PostgresTableFactory):
             params.get("user", "root"),
             password_provider=(lambda: params["pass"]) if "pass" in params else None,
         )
+
+
+class ClickHouseTableFactory(PostgresTableFactory):
+    """ClickHouse table factory (reference clickhouse.py —
+    ``ClickHouseTableFactory(params)`` with ``tables()`` and
+    ``get_table(table_reference, args)``). Read path only, like the
+    reference's clickhouse crate (no write.rs). ``args`` mirrors the
+    reference's parameterized-view argument tuples: rendered into a
+    ``name(k1=v1, ...)`` table-function relation in the pushed query."""
+
+    def __init__(self, params: Dict[str, str]):
+        _SparkFactory.__init__(self)
+        from datafusion_table_providers_spark.sources.remote_sql import (
+            RemoteSqlBackend,
+        )
+
+        self.backend = RemoteSqlBackend(
+            "clickhouse",
+            params.get("host", "localhost"),
+            int(params.get("port", 8123)),
+            params.get("db", params.get("database", "default")),
+            params.get("user", "default"),
+            password_provider=(lambda: params["pass"]) if "pass" in params else None,
+        )
+
+    def tables(self) -> List[str]:
+        raise ConnectionError(
+            "listing ClickHouse tables requires a live server "
+            f"({self.backend.compute_context()}); none is available here"
+        )
+
+    def get_table(self, table_reference: str, args=None, **partitioning) -> DataFrame:
+        rel = table_reference
+        if args:
+            lit = self.backend.dialect.literal
+            rendered = ", ".join(f"{k} = {lit(v)}" for k, v in args)
+            rel = f"(SELECT * FROM {table_reference}({rendered})) AS t"
+        return self.backend.reader_df(self._session(), rel, **partitioning)
+
+
+class ODBCTableFactory(_SparkFactory):
+    """ODBC table factory (reference odbc.py — ``ODBCTableFactory(params)``
+    with ``get_table(table_reference)``; params carry ``connection_string``).
+    Generates ANSI-only SQL because the engine behind the DSN is unknown."""
+
+    def __init__(self, params: Dict[str, str]):
+        super().__init__()
+        from datafusion_table_providers_spark.sources.remote_sql import (
+            RemoteSqlBackend,
+        )
+
+        self.connection_string = params.get("connection_string", "")
+        self.backend = RemoteSqlBackend(
+            "odbc", "", 0, self.connection_string, params.get("user", "")
+        )
+
+    def get_table(self, table_reference: str, **partitioning) -> DataFrame:
+        return self.backend.reader_df(self._session(), table_reference, **partitioning)
 
 
 class MongoDBTableFactory(_SparkFactory):

@@ -39,7 +39,7 @@ from datafusion_table_providers_spark.write.on_conflict import OnConflict
 class RemoteSqlBackend:
     """Connection descriptor + SQL generator for one remote server database."""
 
-    kind: str  # "postgres" | "mysql"
+    kind: str  # "postgres" | "mysql" | "clickhouse" | "odbc" | "adbc"
     host: str
     port: int
     database: str
@@ -55,7 +55,16 @@ class RemoteSqlBackend:
         return f"{self.kind}:{self.host}:{self.port}/{self.database}?user={self.user}"
 
     def jdbc_url(self) -> str:
-        scheme = {"postgres": "postgresql", "mysql": "mysql"}[self.kind]
+        scheme = {
+            "postgres": "postgresql",
+            "mysql": "mysql",
+            "clickhouse": "clickhouse",
+            # ODBC/ADBC: the "database" field carries the DSN / driver URI
+            "odbc": "odbc",
+            "adbc": "adbc",
+        }[self.kind]
+        if self.kind in ("odbc", "adbc"):
+            return f"jdbc:{scheme}:{self.database}"
         return f"jdbc:{scheme}://{self.host}:{self.port}/{self.database}"
 
     def jdbc_options(
@@ -105,12 +114,10 @@ class RemoteSqlBackend:
     def create_table_sql(self, table: str, schema, primary_keys=()) -> str:
         from datafusion_table_providers_spark.core.types import create_table_ddl
 
-        # The ANSI/duckdb type rendering covers the Postgres and MySQL core
-        # matrix (statement.rs:1297-1339); MySQL additionally swaps quoting.
-        ddl = create_table_ddl(table, schema, "duckdb", primary_keys=primary_keys)
-        if self.kind == "mysql":
-            ddl = ddl.replace('"', "`")
-        return ddl
+        # Per-dialect type matrix + quoting (statement.rs:1297-1339 analog;
+        # postgres/mysql/clickhouse render their own names, odbc/adbc emit
+        # ANSI passthrough).
+        return create_table_ddl(table, schema, self.kind, primary_keys=primary_keys)
 
     def insert_sql(
         self,

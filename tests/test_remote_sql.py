@@ -52,11 +52,11 @@ def test_create_table_dialects():
     )
     pg = _pg().create_table_sql("t", schema, primary_keys=("id",))
     assert pg == (
-        'CREATE TABLE "t" ("id" BIGINT NOT NULL, "name" VARCHAR, '
+        'CREATE TABLE "t" ("id" BIGINT NOT NULL, "name" TEXT, '
         'PRIMARY KEY ("id"))'
     )
     my = _my().create_table_sql("t", schema)
-    assert my == "CREATE TABLE `t` (`id` BIGINT NOT NULL, `name` VARCHAR)"
+    assert my == "CREATE TABLE `t` (`id` BIGINT NOT NULL, `name` TEXT)"
 
 
 def test_insert_upsert_per_dialect():
