@@ -82,8 +82,24 @@ def insert_into(
     on_conflict: Optional[OnConflict] = None,
     primary_keys: Sequence[str] = (),
     create: bool = True,
+    via: str = "auto",
 ) -> int:
-    """Append/overwrite `df` into a backend table; returns row count."""
+    """Append/overwrite `df` into a backend table; returns row count.
+
+    ``via`` selects the transport for DuckDB sinks:
+
+    - ``"arrow"`` — ``df.toArrow()`` on the driver, registered as the staging
+      relation. One driver-side materialization; right for small frames.
+    - ``"spool"`` — executors write the DataFrame as parquet in parallel to a
+      spool directory, then ONE ``INSERT … SELECT … FROM read_parquet(glob)``
+      ingests it. Driver memory stays constant no matter the input size —
+      this is the 100 TB path (the spool dir must be storage the sink host
+      can read: local disk on local mode, shared/object storage on a
+      cluster). The staging semantics (single transaction, ON CONFLICT,
+      ANALYZE after) are identical.
+    - ``"auto"`` — spool when the input has >8 partitions (a many-partition
+      frame is big or came from a wide shuffle), arrow otherwise.
+    """
     if primary_keys:
         validate_not_null(df, primary_keys)
         validate_unique(df, primary_keys)
@@ -91,10 +107,56 @@ def insert_into(
         create_table(backend, table, df.schema, primary_keys=primary_keys)
 
     if isinstance(backend, DuckDBBackend):
+        if via == "auto":
+            via = "spool" if df.rdd.getNumPartitions() > 8 else "arrow"
+        if via == "spool":
+            return _insert_duckdb_spool(backend, table, df, mode, on_conflict)
         return _insert_duckdb(backend, table, df, mode, on_conflict)
     if isinstance(backend, SQLiteBackend):
         return _insert_sqlite(backend, table, df, mode, on_conflict)
     raise ValueError(f"no write support for backend {backend}")
+
+
+def _staged_ingest(backend, table, mode, cols, source_rel, conflict) -> None:
+    """Shared staging discipline: append straight in, or build a fresh
+    generation and atomically swap (view re-point analog, write.rs:712-880)."""
+    if mode == "overwrite":
+        gen = f"{table}_gen_{uuid.uuid4().hex[:8]}"
+        backend.execute(f'CREATE TABLE "{gen}" AS SELECT * FROM "{table}" LIMIT 0')
+        backend.execute(f'INSERT INTO "{gen}" ({cols}) SELECT {cols} FROM {source_rel}')
+        backend.execute(
+            f'BEGIN; DROP TABLE "{table}"; '
+            f'ALTER TABLE "{gen}" RENAME TO "{table}"; COMMIT'
+        )
+    else:
+        backend.execute(
+            f'INSERT INTO "{table}" ({cols}) SELECT {cols} FROM {source_rel}{conflict}'
+        )
+    # Stats refresh after bulk write (ANALYZE, write.rs:989-996)
+    backend.execute(f'ANALYZE "{table}"')
+
+
+def _insert_duckdb_spool(backend, table, df, mode, on_conflict) -> int:
+    """Executor-parallel ingest: partitions land as parquet files written by
+    the cluster, the embedded sink reads them back with its native parquet
+    scanner in one staged transaction. Serialization work is distributed
+    across executors (the reference's single writer thread only ever sees
+    Arrow it must build itself — write.rs:413); the driver never holds data."""
+    import shutil
+    import tempfile
+
+    names = [f.name for f in df.schema.fields]
+    cols = ", ".join(f'"{c}"' for c in names)
+    conflict = " " + on_conflict.to_sql(names, "duckdb") if on_conflict else ""
+    spool = tempfile.mkdtemp(prefix="dtps_spool_")
+    try:
+        df.write.mode("overwrite").parquet(spool)
+        glob_rel = f"read_parquet('{spool}/*.parquet')"
+        n = backend.query_arrow(f"SELECT COUNT(*) AS n FROM {glob_rel}")[0][0].as_py()
+        _staged_ingest(backend, table, mode, cols, glob_rel, conflict)
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+    return n
 
 
 def _insert_duckdb(backend, table, df, mode, on_conflict) -> int:
@@ -106,25 +168,7 @@ def _insert_duckdb(backend, table, df, mode, on_conflict) -> int:
         " " + on_conflict.to_sql(arrow.schema.names, "duckdb") if on_conflict else ""
     )
     try:
-        if mode == "overwrite":
-            # Atomic swap: build the new generation, then rename inside one
-            # transaction (view re-point analog, write.rs:712-880).
-            gen = f"{table}_gen_{uuid.uuid4().hex[:8]}"
-            backend.execute(f'CREATE TABLE "{gen}" AS SELECT * FROM "{table}" LIMIT 0')
-            backend.execute(
-                f'INSERT INTO "{gen}" ({cols}) SELECT {cols} FROM "{staging}"'
-            )
-            backend.execute(
-                f'BEGIN; DROP TABLE "{table}"; '
-                f'ALTER TABLE "{gen}" RENAME TO "{table}"; COMMIT'
-            )
-        else:
-            backend.execute(
-                f'INSERT INTO "{table}" ({cols}) '
-                f'SELECT {cols} FROM "{staging}"{conflict}'
-            )
-        # Stats refresh after bulk write (ANALYZE, write.rs:989-996)
-        backend.execute(f'ANALYZE "{table}"')
+        _staged_ingest(backend, table, mode, cols, f'"{staging}"', conflict)
     finally:
         backend.unregister(staging)
     return arrow.num_rows

@@ -130,3 +130,51 @@ def test_sort_limit_fixture(spark, tmp_duckdb):
         'SELECT id FROM "sort_limit_test" LIMIT 7'
     ).to_pylist()
     assert len(bare) == 7
+
+
+def test_spool_insert_matches_arrow_path(spark, tmp_duckdb):
+    """Executor-parallel spool ingest (the 100 TB path) produces the same
+    table state as the driver-side Arrow path, including ON CONFLICT and
+    overwrite semantics."""
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(100)], SCHEMA)
+    n = writer.insert_into(
+        tmp_duckdb, "t", base.repartition(16), primary_keys=["id"], via="spool"
+    )
+    assert n == 100
+    assert (
+        tmp_duckdb.query_arrow('SELECT COUNT(*) AS n FROM "t"')[0][0].as_py()
+        == 100
+    )
+
+    # upsert through the spool path
+    wave = spark.createDataFrame([(99, "NEW"), (100, "x")], SCHEMA)
+    writer.insert_into(
+        tmp_duckdb, "t", wave, on_conflict=OnConflict.upsert(["id"]),
+        create=False, via="spool",
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in tmp_duckdb.query_arrow(
+            'SELECT * FROM "t" WHERE id >= 99'
+        ).to_pylist()
+    }
+    assert got == {99: "NEW", 100: "x"}
+
+    # overwrite through the spool path is atomic-swap, not delete+insert
+    repl = spark.createDataFrame([(1, "only")], SCHEMA)
+    writer.insert_into(tmp_duckdb, "t", repl, mode="overwrite",
+                       create=False, via="spool")
+    assert tmp_duckdb.query_arrow('SELECT * FROM "t"').to_pylist() == [
+        {"id": 1, "v": "only"}
+    ]
+
+
+def test_auto_via_selects_spool_for_wide_inputs(spark, tmp_duckdb):
+    wide = spark.createDataFrame([(i, "w") for i in range(50)], SCHEMA).repartition(16)
+    writer.insert_into(tmp_duckdb, "t2", wide)  # via="auto" → spool
+    narrow = spark.createDataFrame([(1000, "n")], SCHEMA)  # 1 partition → arrow
+    writer.insert_into(tmp_duckdb, "t2", narrow, create=False)
+    assert (
+        tmp_duckdb.query_arrow('SELECT COUNT(*) AS n FROM "t2"')[0][0].as_py()
+        == 51
+    )
