@@ -99,7 +99,62 @@ def bench_duckdb_arrow(batches: int, per_batch: int) -> float:
     return time.time() - t0
 
 
+def bench_spark_transport(via: str, rows: int, partitions: int) -> float:
+    """End-to-end DataFrame→DuckDB ingest through writer.insert_into:
+    via='arrow' (driver toArrow) vs via='spool' (executor-parallel parquet).
+    """
+    from datafusion_table_providers_spark.session import get_spark
+    from datafusion_table_providers_spark.write import writer
+
+    spark = get_spark("write-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = (
+        spark.range(rows)
+        .selectExpr(
+            "id",
+            "concat('name_', id) AS name",
+            "id * 1.5 AS value",
+            "concat('category_', id % 10) AS category",
+            "CASE WHEN id % 3 = 0 THEN id END AS count",
+        )
+        .repartition(partitions)
+    )
+    df.count()  # materialize input cost outside the timed window
+    path = os.path.join(tempfile.gettempdir(), f"wb_spark_{via}.duckdb")
+    if os.path.exists(path):
+        os.remove(path)
+    b = DuckDBBackend(path)
+    t0 = time.time()
+    writer.insert_into(b, "bench_table", df, via=via)
+    return time.time() - t0
+
+
+def main_spark():
+    results = []
+    for rows, partitions in [(100_000, 8), (1_000_000, 32)]:
+        for via in ("arrow", "spool"):
+            sec = bench_spark_transport(via, rows, partitions)
+            results.append(
+                {
+                    "method": f"spark_{via}",
+                    "rows": rows,
+                    "partitions": partitions,
+                    "rows_per_sec": round(rows / sec, 1),
+                    "us_per_row": round(sec / rows * 1e6, 3),
+                }
+            )
+            print(
+                f"spark_{via:6s} {rows:>9,d} rows x{partitions:<3d} "
+                f"{results[-1]['rows_per_sec']:>12,.0f} rows/s",
+                file=sys.stderr,
+            )
+    print(json.dumps({"metric": "write_bench_spark", "results": results}))
+
+
 def main():
+    if "--spark" in sys.argv:
+        main_spark()
+        return
     results = []
     for batches, per_batch in CONFIGS:
         total = batches * per_batch
