@@ -108,13 +108,38 @@ def insert_into(
 
     if isinstance(backend, DuckDBBackend):
         if via == "auto":
-            via = "spool" if df.rdd.getNumPartitions() > 8 else "arrow"
+            via = (
+                "spool"
+                if df.rdd.getNumPartitions() > 8 and _spool_safe(df.schema)
+                else "arrow"
+            )
         if via == "spool":
             return _insert_duckdb_spool(backend, table, df, mode, on_conflict)
         return _insert_duckdb(backend, table, df, mode, on_conflict)
     if isinstance(backend, SQLiteBackend):
         return _insert_sqlite(backend, table, df, mode, on_conflict)
     raise ValueError(f"no write support for backend {backend}")
+
+
+def _spool_safe(schema) -> bool:
+    """Interval columns lose their logical type through a parquet round-trip
+    (Spark writes them as plain INT64, which the sink can't cast back to
+    INTERVAL) — those schemas must take the Arrow transport, which preserves
+    Duration/Interval logical types end-to-end."""
+    from pyspark.sql import types as T
+
+    def ok(dt) -> bool:
+        if isinstance(dt, (T.DayTimeIntervalType, T.YearMonthIntervalType)):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return ok(dt.keyType) and ok(dt.valueType)
+        if isinstance(dt, T.StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    return all(ok(f.dataType) for f in schema.fields)
 
 
 def _staged_ingest(backend, table, mode, cols, source_rel, conflict) -> None:
@@ -145,6 +170,11 @@ def _insert_duckdb_spool(backend, table, df, mode, on_conflict) -> int:
     import shutil
     import tempfile
 
+    if not _spool_safe(df.schema):
+        raise ValueError(
+            "interval columns cannot take the spool transport (parquet "
+            "round-trip drops the logical type); use via='arrow'"
+        )
     names = [f.name for f in df.schema.fields]
     cols = ", ".join(f'"{c}"' for c in names)
     conflict = " " + on_conflict.to_sql(names, "duckdb") if on_conflict else ""
