@@ -404,6 +404,123 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+# Q16: parts/supplier relationship — DISTINCT-pair derivation (the schema
+# has no partsupp; distinct (partkey, suppkey) pairs from lineitem stand in),
+# NOT IN subquery as an anti-join, COUNT(DISTINCT) rollup.
+def t16_parts_supplier(spark, sf_dir):
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 3, 5, 7, 9)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+T16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 3, 5, 7, 9)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# Q20: potential part promotion — suppliers with heavy shipped volume of a
+# part class (correlated HAVING subquery → aggregate-then-semi-join).
+def t20_part_promotion(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    heavy = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+T20_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+  GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 40
+)
+"""
+
+
+# Q21: suppliers who kept orders waiting — EXISTS (another supplier in the
+# order) + NOT EXISTS (another LATE supplier), both correlated, expressed as
+# per-order distinct-supplier aggregates joined back (no commitdate in the
+# schema → "late" = shipped >300 days after order date).
+def t21_waiting_suppliers(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 300 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    nsupp = (
+        l.groupBy(F.col("l_orderkey").alias("ok_all"))
+        .agg(F.countDistinct("l_suppkey").alias("nsupp"))
+    )
+    nlate = (
+        late.groupBy(F.col("l_orderkey").alias("ok_late"))
+        .agg(F.countDistinct("l_suppkey").alias("nlate"))
+    )
+    return (
+        late.join(nsupp, late.l_orderkey == F.col("ok_all"))
+        .join(nlate, late.l_orderkey == F.col("ok_late"))
+        .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+T21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 300 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 300 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
 # Q22: global sales opportunity — positive-balance customers with no urgent
 # orders, grouped by a synthesized country code (c_nationkey % 5; schema has
 # no c_phone; every customer has *some* order in the synthetic data, so the
@@ -457,10 +574,15 @@ SUITE = {
         t13_customer_distribution, T13_SQL, "TPC-H Q13 shape"
     ),
     "t15_top_supplier": QueryCase(t15_top_supplier, T15_SQL, "TPC-H Q15 shape"),
+    "t16_parts_supplier": QueryCase(t16_parts_supplier, T16_SQL, "TPC-H Q16 shape"),
     "t17_small_quantity": QueryCase(t17_small_quantity, T17_SQL, "TPC-H Q17 shape"),
     "t18_large_volume": QueryCase(t18_large_volume, T18_SQL, "TPC-H Q18 shape"),
     "t19_disjunctive_revenue": QueryCase(
         t19_disjunctive_revenue, T19_SQL, "TPC-H Q19 shape"
+    ),
+    "t20_part_promotion": QueryCase(t20_part_promotion, T20_SQL, "TPC-H Q20 shape"),
+    "t21_waiting_suppliers": QueryCase(
+        t21_waiting_suppliers, T21_SQL, "TPC-H Q21 shape"
     ),
     "t22_global_sales": QueryCase(t22_global_sales, T22_SQL, "TPC-H Q22 shape"),
 }
