@@ -404,6 +404,48 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+# Q2: minimum-cost supplier — per-group argmin with join-back (the schema
+# has no partsupp/ps_supplycost; the argmin dimension is s_acctbal over the
+# suppliers that actually shipped the part, restricted to one region).
+def t02_min_cost_supplier(spark, sf_dir):
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "PROMO")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("pk")).agg(
+        F.min("s_acctbal").alias("mb")
+    )
+    return cand.join(
+        best, (cand.p_partkey == best.pk) & (cand.s_acctbal == best.mb)
+    ).select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+
+
+T02_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+  FROM ps JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size <= 10 AND p_type = 'PROMO' AND r_name = 'EUROPE')
+SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+FROM cand JOIN (
+  SELECT p_partkey AS pk, MIN(s_acctbal) AS mb FROM cand GROUP BY p_partkey
+) m ON p_partkey = pk AND s_acctbal = mb
+"""
+
+
 # Q16: parts/supplier relationship — DISTINCT-pair derivation (the schema
 # has no partsupp; distinct (partkey, suppkey) pairs from lineitem stand in),
 # NOT IN subquery as an anti-join, COUNT(DISTINCT) rollup.
@@ -566,6 +608,9 @@ GROUP BY CAST(c_nationkey % 5 AS INT)
 
 
 SUITE = {
+    "t02_min_cost_supplier": QueryCase(
+        t02_min_cost_supplier, T02_SQL, "TPC-H Q2 shape"
+    ),
     "t07_volume_shipping": QueryCase(t07_volume_shipping, T07_SQL, "TPC-H Q7 shape"),
     "t08_market_share": QueryCase(t08_market_share, T08_SQL, "TPC-H Q8 shape"),
     "t09_product_profit": QueryCase(t09_product_profit, T09_SQL, "TPC-H Q9 shape"),

@@ -159,6 +159,58 @@ def sessionize_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_to_backend(
+    stream_df: DataFrame,
+    backend,
+    table: str,
+    checkpoint_dir: str,
+    on_conflict=None,
+):
+    """Stream → connector-write sink: ``foreachBatch`` feeding the same
+    ``writer.insert_into`` staging path batch writes use (reference analog:
+    an unbounded Flight stream landing in a DuckDB table — the two halves
+    exist separately in the reference; this joins them).
+
+    Exactly-once across restarts: Spark's checkpoint makes batch ids stable,
+    and every applied id is recorded in ``<table>__commits`` so a replayed
+    batch (failure between sink write and checkpoint commit) is skipped —
+    the micro-batch analog of the reference's staging-table transactional
+    discipline (write.rs:558-710). Returns the StreamingQuery; callers
+    ``awaitTermination``."""
+    from datafusion_table_providers_spark.write import writer
+
+    import hashlib
+
+    # Batch ids are only unique within one checkpoint lineage (a fresh
+    # checkpoint restarts at 0), so the commit log is keyed per run.
+    run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
+    commits = f"{table}__commits"
+    backend.execute(
+        f'CREATE TABLE IF NOT EXISTS "{commits}" '
+        f'("run_id" VARCHAR, "batch_id" BIGINT, '
+        f'PRIMARY KEY ("run_id", "batch_id"))'
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen = backend.query_arrow(
+            f'SELECT COUNT(*) AS n FROM "{commits}" '
+            f"WHERE \"run_id\" = '{run_id}' AND \"batch_id\" = {batch_id}"
+        )[0][0].as_py()
+        if seen:
+            return
+        writer.insert_into(
+            backend, table, batch_df, on_conflict=on_conflict, create=True
+        )
+        backend.execute(f"INSERT INTO \"{commits}\" VALUES ('{run_id}', {batch_id})")
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -52,3 +52,31 @@ def test_stateful_sessionizer_runs(spark):
     for r in rows:
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_stream_to_backend_sink_idempotent(spark, tmp_path):
+    """Stream → DuckDB connector sink: row parity with batch, and a restart
+    from the same checkpoint must not duplicate rows (commit-log dedup)."""
+    from datafusion_table_providers_spark.sources.backends import DuckDBBackend
+    from datafusion_table_providers_spark.streaming.events import (
+        event_stream,
+        stream_to_backend,
+    )
+
+    be = DuckDBBackend(str(tmp_path / "sink.duckdb"))
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_to_backend(event_stream(spark, SF), be, "events_sink", ckpt)
+    q.awaitTermination(120)
+
+    from datafusion_table_providers_spark.operators.relational import _t
+
+    want = _t(spark, SF, "events").count()
+    got = be.query_arrow('SELECT COUNT(*) AS n FROM "events_sink"')[0][0].as_py()
+    assert got == want and want > 0
+
+    # restart with the same checkpoint: no new data → no growth, no dup
+    q2 = stream_to_backend(event_stream(spark, SF), be, "events_sink", ckpt)
+    q2.awaitTermination(120)
+    got2 = be.query_arrow('SELECT COUNT(*) AS n FROM "events_sink"')[0][0].as_py()
+    assert got2 == want
