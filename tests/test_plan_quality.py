@@ -1,0 +1,69 @@
+"""Plan-quality regression tests: the physical plans behind the TPC-H-shaped
+suite must keep the properties the 100 TB design depends on — no accidental
+cartesian products, broadcast joins for dimension tables, and pruned parquet
+scans. A refactor that silently degrades a plan (e.g. loses a broadcast hint
+or widens a scan) fails here even though results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_table_providers_spark.suite import FULL_SUITE
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose plans must be cartesian-free (b09 is the deliberate theta
+# join; everything else doing a cross product is a bug)
+NO_CARTESIAN = [
+    "b08_multi_join_q3",
+    "t02_min_cost_supplier",
+    "t05_local_supplier",
+    "t07_volume_shipping",
+    "t08_market_share",
+    "t09_product_profit",
+    "t10_returned_items",
+    "t17_small_quantity",
+    "t18_large_volume",
+    "t21_waiting_suppliers",
+]
+
+# queries that join small dimensions and must broadcast at least one side
+MUST_BROADCAST = [
+    "b08_multi_join_q3",
+    "t05_local_supplier",
+    "t08_market_share",
+    "t09_product_profit",
+    "t10_returned_items",
+]
+
+
+def _plan(spark, name: str) -> str:
+    df = FULL_SUITE[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN)
+def test_no_cartesian_product(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name} degenerated to nested-loop join"
+    )
+
+
+@pytest.mark.parametrize("name", MUST_BROADCAST)
+def test_dimension_joins_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast dim join"
+
+
+def test_scan_projection_pruned(spark):
+    # b01 projects 2 of 11 lineitem columns — the scan must read only those
+    plan = _plan(spark, "b01_scan_projection")
+    assert "l_orderkey" in plan and "l_quantity" in plan
+    assert "l_comment" not in plan and "l_extendedprice" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "b17_topk")
+    assert "TakeOrderedAndProject" in plan, "TopK must not global-sort"
