@@ -420,8 +420,82 @@ FROM inter JOIN sizes s1 ON da = s1.doc_id JOIN sizes s2 ON db = s2.doc_id
 """
 
 
+# --- d12: duplicate-cluster assignment (connected components) -------------
+# The graph step a production dedup pipeline needs after candidate pairs:
+# near-duplicate pairs form a graph; each document must map to ONE canonical
+# representative (the component's minimum doc_id). Spark side: iterative
+# min-label propagation — each round is one shuffle join (edges ⋈ labels),
+# rounds ≈ component diameter (dup clusters are tiny, so 2-4 rounds); at
+# 100 TB this is the standard large-scale connected-components discipline
+# (no driver-side graph, converges by fixpoint count check). Oracle side:
+# DuckDB recursive-CTE transitive closure over the same LSH pairs.
+D12_JACCARD_TAU = 0.5
+
+
+def d12_dedup_components(spark, sf_dir):
+    pairs = (
+        d02b_minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= D12_JACCARD_TAU)
+        .select("da", "db")
+        .localCheckpoint(eager=True)  # cut the heavy minhash lineage once
+    )
+    edges = pairs.union(
+        pairs.select(F.col("db").alias("da"), F.col("da").alias("db"))
+    ).select(F.col("da").alias("src"), F.col("db").alias("dst"))
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(20):  # bounded by max component diameter
+        nbr = (
+            edges.join(labels, edges.dst == F.col("node"))
+            .groupBy(F.col("src").alias("node2"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("component_id")
+    )
+
+
+def _d12_sql() -> str:
+    return f"""
+WITH RECURSIVE
+jp AS (
+  SELECT da, db FROM ({_d02b_sql()}) WHERE jaccard >= {D12_JACCARD_TAU}
+),
+edges AS (SELECT da AS a, db AS b FROM jp UNION ALL SELECT db, da FROM jp),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n
+"""
+
+
 SUITE = {
     "d01_exact_dedup": QueryCase(d01_exact_dedup, D01_SQL, "exact dedup via md5"),
+    "d12_dedup_components": QueryCase(
+        d12_dedup_components, _d12_sql(), "duplicate clusters (connected components)"
+    ),
     "d02_minhash_signatures": QueryCase(
         d02_minhash_signatures, _sig_sql(), "MinHash signatures + LSH bands"
     ),
