@@ -93,19 +93,31 @@ _SHINGLES_SQL = f"""
 
 
 # --- d02: MinHash signatures + LSH band keys ------------------------------
+# Kirsch-Mitzenmacher double hashing: ONE md5 per shingle yields two 32-bit
+# halves (h1, h2); the j-th MinHash function is (h1 + j*h2) mod P. Cuts the
+# per-shingle hashing cost N_HASHES-fold versus hashing "j:"+s per function
+# — at 100 TB the hash stage dominates signature building. Both engines
+# derive h1/h2 from the same md5 hex, so signatures stay oracle-identical.
+MH_PRIME = 4294967311  # smallest prime > 2^32
+
+
 def _signature_df(spark, sf_dir):
     # duplicate shingles cannot change a min() — skip the distinct shuffle
     sh = _shingles_df(spark, sf_dir, distinct=False)
+    m = F.md5(F.col("s"))
+    hh = sh.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
     aggs = [
-        F.min(F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 16)).alias(
-            f"mh{j}"
-        )
+        F.min((F.col("h1") + j * F.col("h2")) % MH_PRIME).alias(f"mh{j}")
         for j in range(N_HASHES)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = hh.groupBy("doc_id").agg(*aggs)
     bands = [
-        F.concat(
-            *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        F.concat_ws(
+            "|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
@@ -116,19 +128,45 @@ def d02_minhash_signatures(spark, sf_dir):
     return _signature_df(spark, sf_dir)
 
 
-def _sig_sql() -> str:
-    mh = ", ".join(
-        f"MIN(substr(md5('{j}:' || s), 1, 16)) AS mh{j}" for j in range(N_HASHES)
+def _hex8_sql(mcol: str, start: int) -> str:
+    """BIGINT value of 8 hex chars of `mcol` starting at 1-based `start` —
+    portable nibble-CASE parse (no from_hex/conv dependency)."""
+    terms = []
+    for k in range(8):
+        case = _HEXVAL_CASE.format(c=f"substr({mcol}, {start + k}, 1)")
+        terms.append(f"CAST({case} AS BIGINT) * {16 ** (7 - k)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _mh_exprs() -> str:
+    return ", ".join(
+        f"MIN((h1 + {j} * h2) % {MH_PRIME}) AS mh{j}" for j in range(N_HASHES)
     )
+
+
+def _band_expr(b: int) -> str:
+    return " || '|' || ".join(
+        f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+        for r in range(ROWS_PER_BAND)
+    )
+
+
+def _sig_cte() -> str:
+    """Shared CTE prefix: shingles → (h1, h2) halves → MinHash signatures."""
+    return f"""sh AS ({_SHINGLES_SQL}),
+hh AS (
+  SELECT doc_id, {_hex8_sql('m', 1)} AS h1, {_hex8_sql('m', 9)} AS h2
+  FROM (SELECT doc_id, md5(s) AS m FROM sh)
+),
+sig AS (SELECT doc_id, {_mh_exprs()} FROM hh GROUP BY doc_id)"""
+
+
+def _sig_sql() -> str:
     bands = ", ".join(
-        "("
-        + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        + f") AS band{b}"
-        for b in range(N_BANDS)
+        f"({_band_expr(b)}) AS band{b}" for b in range(N_BANDS)
     )
     return f"""
-WITH sh AS ({_SHINGLES_SQL}),
-sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id)
+WITH {_sig_cte()}
 SELECT doc_id, {bands} FROM sig
 """
 
@@ -188,18 +226,12 @@ def d02b_minhash_lsh_pairs(spark, sf_dir):
 
 
 def _d02b_sql() -> str:
-    mh = ", ".join(
-        f"MIN(substr(md5('{j}:' || s), 1, 16)) AS mh{j}" for j in range(N_HASHES)
-    )
     band_rows = " UNION ALL ".join(
-        "SELECT doc_id, "
-        + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        + f" AS key, {b} AS band FROM sig"
+        f"SELECT doc_id, {_band_expr(b)} AS key, {b} AS band FROM sig"
         for b in range(N_BANDS)
     )
     return f"""
-WITH sh AS ({_SHINGLES_SQL}),
-sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+WITH {_sig_cte()},
 buckets AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
