@@ -225,6 +225,47 @@ LIMIT 20
 """
 
 
+# Q11: important stock identification — GROUP BY ... HAVING compared against
+# a global scalar subquery (a fraction of the total). No partsupp: part
+# value is synthesized as shipped quantity × retail price, restricted to a
+# supplier-nation subset.
+def t11_important_stock(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select("s_suppkey")
+    )
+    val = F.col("l_quantity") * F.col("p_retailprice")
+    base = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+    )
+    per_part = base.groupBy("l_partkey").agg(F.sum(val).alias("raw_value"))
+    total = base.agg((F.sum(val) * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select("l_partkey", _r(F.col("raw_value"), 2).alias("value"))
+    )
+
+
+T11_SQL = f"""
+SELECT l_partkey, {_rsql('SUM(l_quantity * p_retailprice)', 2)} AS value
+FROM lineitem JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE s_nationkey < 5
+GROUP BY l_partkey
+HAVING SUM(l_quantity * p_retailprice) > (
+  SELECT SUM(l_quantity * p_retailprice) * 0.001
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE s_nationkey < 5
+)
+"""
+
+
 # Q13: customer order-count distribution via conditional LEFT OUTER join.
 def t13_customer_distribution(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -615,6 +656,9 @@ SUITE = {
     "t08_market_share": QueryCase(t08_market_share, T08_SQL, "TPC-H Q8 shape"),
     "t09_product_profit": QueryCase(t09_product_profit, T09_SQL, "TPC-H Q9 shape"),
     "t10_returned_items": QueryCase(t10_returned_items, T10_SQL, "TPC-H Q10 shape"),
+    "t11_important_stock": QueryCase(
+        t11_important_stock, T11_SQL, "TPC-H Q11 shape"
+    ),
     "t13_customer_distribution": QueryCase(
         t13_customer_distribution, T13_SQL, "TPC-H Q13 shape"
     ),
