@@ -192,8 +192,51 @@ FROM events GROUP BY 1
 """
 
 
+# --- e07: salted two-phase aggregation ------------------------------------
+# The skew discipline for aggregations (operators/skew.py covers joins):
+# when one group key holds a disproportionate share of rows, a direct
+# groupBy sends that whole key to one reducer. Salting splits each key into
+# n_salts sub-groups (phase 1: partial agg per (key, salt) — spreads the hot
+# key across reducers), then re-aggregates the tiny partial table per key
+# (phase 2). Results are identical to the direct aggregate — which is
+# exactly what the DuckDB oracle (a plain GROUP BY) checks. Salt is a
+# deterministic row hash, not random(): task retries stay idempotent.
+N_SALTS = 16
+
+
+def e07_salted_agg(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    salt = F.abs(F.xxhash64("l_orderkey", "l_linenumber")) % N_SALTS
+    phase1 = (
+        l.withColumn("__salt", salt)
+        .groupBy("l_returnflag", "__salt")
+        .agg(
+            F.sum("l_quantity").alias("pq"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("pr"),
+            F.count("*").alias("pn"),
+        )
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        _r(F.sum("pq"), 2).alias("sum_qty"),
+        _r(F.sum("pr"), 2).alias("revenue"),
+        F.sum("pn").alias("n_rows"),
+    )
+
+
+E07_SQL = f"""
+SELECT l_returnflag,
+       {_rsql('SUM(l_quantity)', 2)} AS sum_qty,
+       {_rsql('SUM(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 SUITE = {
     "e01_asof_join": QueryCase(e01_asof_join, E01_SQL, "as-of join via window"),
+    "e07_salted_agg": QueryCase(
+        e07_salted_agg, E07_SQL, "salted two-phase aggregation"
+    ),
     "e02_range_join": QueryCase(e02_range_join, E02_SQL, "bucketed range join"),
     "e03_percentiles": QueryCase(e03_percentiles, E03_SQL, "continuous percentiles"),
     "e04_stats": QueryCase(e04_stats, E04_SQL, "stddev/var/corr/covar/count_if"),
