@@ -17,6 +17,7 @@ plan-level pushdown is Catalyst's job; what we own is:
 from __future__ import annotations
 
 import datetime as dt
+import math
 from typing import List, Optional, Sequence, Tuple
 
 
@@ -38,6 +39,13 @@ class Dialect:
             return "NULL"
         if isinstance(value, bool):
             return "TRUE" if value else "FALSE"
+        if isinstance(value, float) and not math.isfinite(value):
+            # repr() would emit bare inf/nan tokens, which bind as column
+            # references — render the portable string-cast form instead
+            if math.isnan(value):
+                return "CAST('NaN' AS DOUBLE)"
+            sign = "-" if value < 0 else ""
+            return f"CAST('{sign}Infinity' AS DOUBLE)"
         if isinstance(value, (int, float)):
             return repr(value)
         if isinstance(value, dt.datetime):
@@ -59,6 +67,13 @@ class Dialect:
 class DuckDBDialect(Dialect):
     name = "duckdb"
 
+    def literal(self, value) -> str:
+        # X'..' is not a DuckDB blob literal (it parses as something else) —
+        # caught by the hypothesis round-trip property
+        if isinstance(value, bytes):
+            return f"unhex('{value.hex()}')"
+        return super().literal(value)
+
 
 class SQLiteDialect(Dialect):
     name = "sqlite"
@@ -66,6 +81,11 @@ class SQLiteDialect(Dialect):
 
 class PostgresDialect(Dialect):
     name = "postgres"
+
+    def literal(self, value) -> str:
+        if isinstance(value, bytes):
+            return f"decode('{value.hex()}', 'hex')"
+        return super().literal(value)
 
 
 class MySQLDialect(Dialect):

@@ -67,7 +67,14 @@ def test_literals():
         D.literal(dt.datetime(2024, 1, 2, 3, 4, 5))
         == "TIMESTAMP '2024-01-02 03:04:05'"
     )
-    assert D.literal(b"\x01\xff") == "X'01ff'"
+    # duckdb blob rendering: X'..' is NOT a DuckDB blob literal (hypothesis
+    # round-trip caught it); the generic dialect keeps X'..' for mysql/sqlite
+    assert D.literal(b"\x01\xff") == "unhex('01ff')"
+    from datafusion_table_providers_spark.core.expr import DIALECTS
+
+    assert DIALECTS["sqlite"].literal(b"\x01\xff") == "X'01ff'"
+    assert DIALECTS["postgres"].literal(b"\x01\xff") == "decode('01ff', 'hex')"
+    assert D.literal(float("inf")) == "CAST('Infinity' AS DOUBLE)"
 
 
 def test_build_select_shapes():
