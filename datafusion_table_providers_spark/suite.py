@@ -27,6 +27,7 @@ for _mod, _attr in [
     ("datafusion_table_providers_spark.llm.similarity", "SUITE"),
     ("datafusion_table_providers_spark.llm.text", "SUITE"),
     ("datafusion_table_providers_spark.llm.multimodal", "SUITE"),
+    ("datafusion_table_providers_spark.llm.pipeline", "SUITE"),
     ("datafusion_table_providers_spark.sources.suite", "SUITE"),
 ]:
     try:
