@@ -78,6 +78,14 @@ class Rel:
     def limit(self, n: int) -> "Rel":
         return Rel("limit", (self,), n=n)
 
+    def union(self, other: "Rel", all: bool = True) -> "Rel":
+        """UNION [ALL]. Window functions need no dedicated node: they are
+        plain select-list expressions (``select("x", "SUM(v) OVER (...) AS
+        s")``) valid in both Spark SQL and every remote dialect, so the
+        project node federates them — matching the reference's claim that
+        whole window-bearing plans push down (README.md:7-9)."""
+        return Rel("union", (self, other), how="all" if all else "distinct")
+
     # ---- federation analysis --------------------------------------------
     def context(self) -> Optional[str]:
         """compute_context shared by ALL leaves of this subtree, else None.
@@ -142,6 +150,14 @@ class Rel:
             return (
                 f"SELECT * FROM ({self.children[0].to_sql(name_of)}) "
                 f"t{next(_IDS)} LIMIT {self.n}"
+            )
+        if self.kind == "union":
+            op = "UNION ALL" if self.how == "all" else "UNION"
+            return (
+                f"SELECT * FROM ({self.children[0].to_sql(name_of)}) "
+                f"u{next(_IDS)} {op} "
+                f"SELECT * FROM ({self.children[1].to_sql(name_of)}) "
+                f"u{next(_IDS)}"
             )
         raise ValueError(self.kind)
 

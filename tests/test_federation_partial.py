@@ -93,3 +93,46 @@ def test_spark_native_leaf_poisons_pushdown(spark, tmp_path):
     got = {r["ngrp"]: r["n"] for r in df.collect()}
     assert got == {"g0": 10, "g1": 10}
     assert len(plan.pushed) == 1  # only the duckdb projection was pushed
+
+
+def test_union_and_window_push_as_one_sql(spark, tmp_path):
+    """UNION ALL of same-backend branches — each carrying a window
+    expression — must federate into ONE remote statement."""
+    duck, _ = _setup(spark, tmp_path)
+    plan = FederationPlan()
+    w = "SUM(v) OVER (PARTITION BY grp ORDER BY id) AS running"
+    rel = (
+        table("t1", duck).select("id", "grp", w)
+        .union(table("t2", duck).select("id", "grp", w))
+        .agg(["grp"], "COUNT(*) AS n", "MAX(running) AS mx")
+    )
+    df = materialize(spark, rel, explain=plan)
+    rows = {r["grp"]: (r["n"], r["mx"]) for r in df.collect()}
+    assert len(plan.pushed) == 1, "union+windows must push as one statement"
+    assert "UNION ALL" in plan.pushed[0][1]
+    assert "OVER (PARTITION BY" in plan.pushed[0][1]
+    assert plan.remainder_sql is None  # whole plan went remote
+    # oracle: same SQL straight on the backend
+    want = {
+        r["grp"]: (r["n"], r["mx"])
+        for r in duck.query_arrow(
+            "SELECT grp, COUNT(*) AS n, MAX(running) AS mx FROM ("
+            f"SELECT id, grp, {w} FROM t1 UNION ALL "
+            f"SELECT id, grp, {w} FROM t2) u GROUP BY grp"
+        ).to_pylist()
+    }
+    assert rows == want
+
+
+def test_cross_context_union_splits(spark, tmp_path):
+    """UNION across different backends: each branch pushes separately and
+    Spark unions the fragments."""
+    duck, lite = _setup(spark, tmp_path)
+    plan = FederationPlan()
+    rel = (
+        table("t1", duck).agg(["grp"], "COUNT(*) AS n")
+        .union(table("t3", lite).agg(["grp"], "COUNT(*) AS n"))
+    )
+    df = materialize(spark, rel, explain=plan)
+    assert len(plan.pushed) == 2  # one per backend
+    assert df.count() == 6  # 3 groups from each side (UNION ALL)
