@@ -127,3 +127,24 @@ def test_multimodal_decode_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_engine_federates_union_and_window(spark, tmp_path):
+    """Whole-query path: set ops and window functions in the SQL text
+    federate unchanged (the remote engine executes them)."""
+    b = _filled_backend(spark, tmp_path)
+    eng = Engine(spark)
+    eng.register_backend_table("ut1", b, "t")
+    eng.register_backend_table("ut2", b, "t")
+    q = (
+        "SELECT grp, MAX(rn) AS mx FROM ("
+        "  SELECT grp, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) AS rn FROM ut1"
+        "  UNION ALL"
+        "  SELECT grp, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) AS rn FROM ut2"
+        ") u GROUP BY grp ORDER BY grp"
+    )
+    assert eng.explain_federation(q).startswith("federated")
+    out = eng.sql(q).collect()
+    assert [(r["grp"], r["mx"]) for r in out] == [
+        ("g0", 25), ("g1", 25), ("g2", 25), ("g3", 25)
+    ]
