@@ -46,7 +46,13 @@ class Dialect:
                 return "CAST('NaN' AS DOUBLE)"
             sign = "-" if value < 0 else ""
             return f"CAST('{sign}Infinity' AS DOUBLE)"
-        if isinstance(value, (int, float)):
+        if isinstance(value, float):
+            # bare decimal literals parse as DECIMAL in several engines
+            # (DuckDB included) and the DECIMAL→DOUBLE hop can lose a ULP;
+            # a string→double cast is correctly rounded, so repr() (the
+            # shortest round-tripping form) survives exactly
+            return f"CAST('{repr(value)}' AS DOUBLE)"
+        if isinstance(value, int):
             return repr(value)
         if isinstance(value, dt.datetime):
             return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
@@ -103,6 +109,13 @@ class ClickHouseDialect(Dialect):
     quote_char = "`"
 
     def literal(self, value) -> str:
+        if isinstance(value, str):
+            # ClickHouse treats backslash as an escape inside single-quoted
+            # strings (unlike ANSI) — it must be doubled BEFORE quote
+            # handling or a trailing backslash swallows the closing quote
+            # (string-boundary break / injection vector)
+            s = value.replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{s}'"
         if isinstance(value, bool):
             return "true" if value else "false"
         if isinstance(value, dt.datetime):

@@ -287,11 +287,23 @@ def create_table_ddl(
     cols: List[str] = []
     for f in schema.fields:
         ty = spark_type_to_ddl(f.dataType, dialect_name)
+        if (
+            dialect_name == "mysql"
+            and isinstance(f.dataType, T.StringType)
+            and f.name in primary_keys
+        ):
+            # MySQL can't index TEXT without a prefix length (error 1170);
+            # key-eligible strings become bounded VARCHAR (statement.rs does
+            # the same for MySQL keys)
+            ty = "VARCHAR(255)"
         if ch:
             nestable = isinstance(
                 f.dataType, (T.ArrayType, T.StructType, T.MapType)
             )
-            if f.nullable and not nestable:  # CH forbids Nullable(composite)
+            # CH forbids Nullable(composite); PK columns become the MergeTree
+            # sort key, which rejects Nullable (allow_nullable_key=0) — they
+            # are forced non-nullable like NOT NULL does elsewhere
+            if f.nullable and not nestable and f.name not in primary_keys:
                 ty = f"Nullable({ty})"
             col = f"{q(f.name)} {ty}"
         else:

@@ -197,8 +197,15 @@ class ClickHouseTableFactory(PostgresTableFactory):
     def get_table(self, table_reference: str, args=None, **partitioning) -> DataFrame:
         rel = table_reference
         if args:
+            pairs = args.items() if isinstance(args, dict) else list(args)
+            for p in pairs if isinstance(pairs, list) else []:
+                if not (isinstance(p, (tuple, list)) and len(p) == 2):
+                    raise ValueError(
+                        "args must be a dict or a sequence of (name, value) "
+                        f"pairs; got element {p!r}"
+                    )
             lit = self.backend.dialect.literal
-            rendered = ", ".join(f"{k} = {lit(v)}" for k, v in args)
+            rendered = ", ".join(f"{k} = {lit(v)}" for k, v in pairs)
             rel = f"(SELECT * FROM {table_reference}({rendered})) AS t"
         return self.backend.reader_df(self._session(), rel, **partitioning)
 

@@ -478,7 +478,8 @@ def d12_dedup_components(spark, sf_dir):
         edges.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("lbl"))
     )
-    for _ in range(20):  # bounded by max component diameter
+    changed = None
+    for _ in range(20):  # min-label propagation needs ≤ diameter rounds
         nbr = (
             edges.join(labels, edges.dst == F.col("node"))
             .groupBy(F.col("src").alias("node2"))
@@ -501,6 +502,14 @@ def d12_dedup_components(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning unconverged labels would silently split true components
+        # (and diverge from the exact recursive-CTE oracle) — fail loudly;
+        # chains deeper than 20 hops need a higher round cap
+        raise RuntimeError(
+            "connected-components did not converge within 20 rounds "
+            f"({changed} labels still changing) — raise the round cap"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("component_id")
     )

@@ -179,17 +179,32 @@ def stream_to_backend(
     ``awaitTermination``."""
     from datafusion_table_providers_spark.write import writer
 
-    import hashlib
+    import os
+    import uuid
 
-    # Batch ids are only unique within one checkpoint lineage (a fresh
-    # checkpoint restarts at 0), so the commit log is keyed per run.
-    run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
+    # Batch ids are only unique within one checkpoint *lineage* (a fresh
+    # checkpoint restarts at 0), so the commit log is keyed per run — and a
+    # run is identified by a marker INSIDE the checkpoint directory, not by
+    # its path: deleting and recreating the same path is a new lineage and
+    # must get a new run_id, or its batch 0 would be wrongly skipped.
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "__dtps_run_id")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            run_id = f.read().strip()
+    else:
+        run_id = uuid.uuid4().hex[:16]
+        with open(marker, "w") as f:
+            f.write(run_id)
+
     commits = f"{table}__commits"
     backend.execute(
         f'CREATE TABLE IF NOT EXISTS "{commits}" '
         f'("run_id" VARCHAR, "batch_id" BIGINT, '
         f'PRIMARY KEY ("run_id", "batch_id"))'
     )
+
+    first = {"create": True}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         seen = backend.query_arrow(
@@ -198,10 +213,42 @@ def stream_to_backend(
         )[0][0].as_py()
         if seen:
             return
-        writer.insert_into(
-            backend, table, batch_df, on_conflict=on_conflict, create=True
+        if first["create"]:
+            writer.create_table(backend, table, batch_df.schema)
+            first["create"] = False
+        if not hasattr(backend, "register_arrow"):
+            # Backends without Arrow staging (SQLite) fall back to the plain
+            # writer + separate marker insert: at-least-once on a crash
+            # between the two statements, exactly-once otherwise.
+            writer.insert_into(
+                backend, table, batch_df, on_conflict=on_conflict, create=False
+            )
+            backend.execute(
+                f"INSERT INTO \"{commits}\" VALUES ('{run_id}', {batch_id})"
+            )
+            return
+        # Data and the commit-log marker land in ONE transaction: a crash
+        # between them can therefore never double-apply a replayed batch
+        # (the reference's staging-table discipline, write.rs:558-710).
+        arrow = batch_df.toArrow()
+        names = list(arrow.schema.names)
+        cols = ", ".join(f'"{c}"' for c in names)
+        conflict = (
+            " " + on_conflict.to_sql(names, backend.dialect.name)
+            if on_conflict
+            else ""
         )
-        backend.execute(f"INSERT INTO \"{commits}\" VALUES ('{run_id}', {batch_id})")
+        staging = f"stg_{run_id}_{batch_id}"
+        backend.register_arrow(staging, arrow)
+        try:
+            backend.execute(
+                f'BEGIN; INSERT INTO "{table}" ({cols}) '
+                f'SELECT {cols} FROM "{staging}"{conflict}; '
+                f"INSERT INTO \"{commits}\" VALUES ('{run_id}', {batch_id}); "
+                f"COMMIT"
+            )
+        finally:
+            backend.unregister(staging)
 
     return (
         stream_df.writeStream.foreachBatch(_sink)

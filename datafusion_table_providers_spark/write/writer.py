@@ -26,6 +26,7 @@ reader already models on the scan side.
 
 from __future__ import annotations
 
+import os
 import uuid
 from typing import Dict, Optional, Sequence
 
@@ -83,6 +84,7 @@ def insert_into(
     primary_keys: Sequence[str] = (),
     create: bool = True,
     via: str = "auto",
+    spool_dir: Optional[str] = None,
 ) -> int:
     """Append/overwrite `df` into a backend table; returns row count.
 
@@ -93,12 +95,15 @@ def insert_into(
     - ``"spool"`` — executors write the DataFrame as parquet in parallel to a
       spool directory, then ONE ``INSERT … SELECT … FROM read_parquet(glob)``
       ingests it. Driver memory stays constant no matter the input size —
-      this is the 100 TB path (the spool dir must be storage the sink host
-      can read: local disk on local mode, shared/object storage on a
-      cluster). The staging semantics (single transaction, ON CONFLICT,
-      ANALYZE after) are identical.
-    - ``"auto"`` — spool when the input has >8 partitions (a many-partition
-      frame is big or came from a wide shuffle), arrow otherwise.
+      this is the 100 TB path. On a cluster the spool dir MUST be storage
+      both executors and the sink host can read (shared FS / object store):
+      pass it via ``spool_dir``. With no ``spool_dir``, a driver-local temp
+      dir is used — valid only under a ``local[*]`` master, enforced.
+      The staging semantics (single transaction, ON CONFLICT, ANALYZE
+      after) are identical to the Arrow transport.
+    - ``"auto"`` — spool when the input has >8 partitions AND a valid spool
+      location exists (``spool_dir`` given, or local master); arrow
+      otherwise.
     """
     if primary_keys:
         validate_not_null(df, primary_keys)
@@ -107,14 +112,24 @@ def insert_into(
         create_table(backend, table, df.schema, primary_keys=primary_keys)
 
     if isinstance(backend, DuckDBBackend):
+        local = df.sparkSession.conf.get("spark.master", "").startswith("local")
         if via == "auto":
             via = (
                 "spool"
-                if df.rdd.getNumPartitions() > 8 and _spool_safe(df.schema)
+                if df.rdd.getNumPartitions() > 8
+                and _spool_safe(df.schema)
+                and (spool_dir is not None or local)
                 else "arrow"
             )
         if via == "spool":
-            return _insert_duckdb_spool(backend, table, df, mode, on_conflict)
+            if spool_dir is None and not local:
+                raise ValueError(
+                    "spool transport on a non-local master needs spool_dir "
+                    "on shared storage readable by the sink host"
+                )
+            return _insert_duckdb_spool(
+                backend, table, df, mode, on_conflict, spool_dir
+            )
         return _insert_duckdb(backend, table, df, mode, on_conflict)
     if isinstance(backend, SQLiteBackend):
         return _insert_sqlite(backend, table, df, mode, on_conflict)
@@ -161,7 +176,7 @@ def _staged_ingest(backend, table, mode, cols, source_rel, conflict) -> None:
     backend.execute(f'ANALYZE "{table}"')
 
 
-def _insert_duckdb_spool(backend, table, df, mode, on_conflict) -> int:
+def _insert_duckdb_spool(backend, table, df, mode, on_conflict, spool_dir=None) -> int:
     """Executor-parallel ingest: partitions land as parquet files written by
     the cluster, the embedded sink reads them back with its native parquet
     scanner in one staged transaction. Serialization work is distributed
@@ -178,7 +193,10 @@ def _insert_duckdb_spool(backend, table, df, mode, on_conflict) -> int:
     names = [f.name for f in df.schema.fields]
     cols = ", ".join(f'"{c}"' for c in names)
     conflict = " " + on_conflict.to_sql(names, "duckdb") if on_conflict else ""
-    spool = tempfile.mkdtemp(prefix="dtps_spool_")
+    if spool_dir is not None:
+        spool = os.path.join(spool_dir, f"dtps_spool_{uuid.uuid4().hex[:12]}")
+    else:
+        spool = tempfile.mkdtemp(prefix="dtps_spool_")
     try:
         df.write.mode("overwrite").parquet(spool)
         glob_rel = f"read_parquet('{spool}/*.parquet')"

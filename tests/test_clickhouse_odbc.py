@@ -27,7 +27,10 @@ def test_clickhouse_dialect_literals():
     )
     assert d.literal(dt.date(1996, 1, 2)) == "toDate32('1996-01-02')"
     assert d.literal(b"\x01\xff") == "unhex('01ff')"
-    assert d.literal("o'hara") == "'o''hara'"
+    # ClickHouse escapes with backslash (ANSI '' doubling is NOT safe there:
+    # backslash is an escape char inside its single-quoted strings)
+    assert d.literal("o'hara") == "'o\\'hara'"
+    assert d.literal("x\\") == "'x\\\\'"
 
 
 def test_odbc_adbc_dialects_are_ansi():
@@ -109,7 +112,7 @@ def test_clickhouse_factory_arg_rendering():
     rendered = ", ".join(
         f"{k} = {lit(v)}" for k, v in [("lo", 1), ("name", "x'y")]
     )
-    assert rendered == "lo = 1, name = 'x''y'"
+    assert rendered == "lo = 1, name = 'x\\'y'"
     try:
         f.tables()
         raise AssertionError("tables() must require a live server")

@@ -29,7 +29,9 @@ def test_equal_and_compare():
     clauses, rest = translate_filters(
         [EqualTo(("a",), 1), GreaterThan(("b",), 2.5)], D
     )
-    assert clauses == ['"a" = 1', '("b" > 2.5)']
+    # floats render as string-casts: bare decimal literals parse as DECIMAL
+    # in several engines and the DECIMAL→DOUBLE hop can lose a ULP
+    assert clauses == ['"a" = 1', "(\"b\" > CAST('2.5' AS DOUBLE))"]
     assert rest == []
 
 
