@@ -147,25 +147,97 @@ FROM events GROUP BY event_type
 
 
 # --- e04: statistical aggregates ------------------------------------------
+# stddev/var/corr/covar are computed from raw moments over *scaled-integer*
+# columns rather than the engines' native accumulators: Spark and DuckDB use
+# different accumulation algorithms (Welford vs two-pass textbook), so their
+# pre-rounding doubles differ by ULPs and half-up rounding can land on
+# different sides of a boundary (this query failed the driver hash in r1).
+# The money columns carry ≤2 decimals and discount/tax ≤4, so
+# floor(x*s + 0.5) recovers an EXACT int64 on both engines; integer /
+# decimal sums are order-independent, so every moment (n, Σx, Σx², Σxy) is
+# bit-identical, and the closed-form stats below are then evaluated with the
+# same IEEE double expression tree on both sides → bit-identical output.
+_E04_STAT_EXPRS = {
+    # sample stddev of price (descale by /100.0 at the end)
+    "price_sd": (
+        "sqrt((s_p2 - s_p * s_p / n) / (n - 1.0)) / 100.0"
+    ),
+    # sample variance of quantity (scale 100 → descale by /10000.0)
+    "qty_var": "((s_q2 - s_q * s_q / n) / (n - 1.0)) / 10000.0",
+    # correlation is scale-invariant
+    "price_qty_corr": (
+        "(s_pq - s_p * s_q / n)"
+        " / sqrt((s_p2 - s_p * s_p / n) * (s_q2 - s_q * s_q / n))"
+    ),
+    # sample covariance of discount/tax (scale 10^4 each → /10^8)
+    "disc_tax_cov": "((s_dt - s_d * s_t / n) / (n - 1.0)) / 100000000.0",
+}
+
+
 def e04_stats(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        _r(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
-        _r(F.var_samp("l_quantity"), 4).alias("qty_var"),
-        _r(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
-        _r(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_cov"),
-        F.expr("count_if(l_discount > 0.05)").alias("n_big_disc"),
+    moments = (
+        l.selectExpr(
+            "l_returnflag",
+            "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS px",
+            "CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS qx",
+            "CAST(FLOOR(l_discount * 10000.0 + 0.5) AS BIGINT) AS dx",
+            "CAST(FLOOR(l_tax * 10000.0 + 0.5) AS BIGINT) AS tx",
+            "CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS big_disc",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+            # products are summed as DECIMAL(38,0): exact and overflow-safe
+            # (px*px ~ 1e14 per row; an int64 sum overflows past ~1e5 rows)
+            F.expr("CAST(SUM(CAST(px AS DECIMAL(38,0))) AS DOUBLE)").alias("s_p"),
+            F.expr("CAST(SUM(CAST(px * px AS DECIMAL(38,0))) AS DOUBLE)").alias("s_p2"),
+            F.expr("CAST(SUM(CAST(qx AS DECIMAL(38,0))) AS DOUBLE)").alias("s_q"),
+            F.expr("CAST(SUM(CAST(qx * qx AS DECIMAL(38,0))) AS DOUBLE)").alias("s_q2"),
+            F.expr("CAST(SUM(CAST(px * qx AS DECIMAL(38,0))) AS DOUBLE)").alias("s_pq"),
+            F.expr("CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DOUBLE)").alias("s_d"),
+            F.expr("CAST(SUM(CAST(tx AS DECIMAL(38,0))) AS DOUBLE)").alias("s_t"),
+            F.expr("CAST(SUM(CAST(dx * tx AS DECIMAL(38,0))) AS DOUBLE)").alias("s_dt"),
+            F.expr("CAST(SUM(big_disc) AS BIGINT)").alias("n_big_disc"),
+        )
+    )
+    return moments.selectExpr(
+        "l_returnflag",
+        *[f"{expr} AS {name}" for name, expr in _E04_STAT_EXPRS.items()],
+        "n_big_disc",
     )
 
 
 E04_SQL = f"""
+WITH scaled AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS px,
+         CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS qx,
+         CAST(FLOOR(l_discount * 10000.0 + 0.5) AS BIGINT) AS dx,
+         CAST(FLOOR(l_tax * 10000.0 + 0.5) AS BIGINT) AS tx,
+         CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS big_disc
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(px AS DECIMAL(38,0))) AS DOUBLE) AS s_p,
+         CAST(SUM(CAST(px * px AS DECIMAL(38,0))) AS DOUBLE) AS s_p2,
+         CAST(SUM(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) AS s_q,
+         CAST(SUM(CAST(qx * qx AS DECIMAL(38,0))) AS DOUBLE) AS s_q2,
+         CAST(SUM(CAST(px * qx AS DECIMAL(38,0))) AS DOUBLE) AS s_pq,
+         CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS s_d,
+         CAST(SUM(CAST(tx AS DECIMAL(38,0))) AS DOUBLE) AS s_t,
+         CAST(SUM(CAST(dx * tx AS DECIMAL(38,0))) AS DOUBLE) AS s_dt,
+         CAST(SUM(big_disc) AS BIGINT) AS n_big_disc
+  FROM scaled GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       {_rsql('stddev_samp(l_extendedprice)', 4)} AS price_sd,
-       {_rsql('var_samp(l_quantity)', 4)} AS qty_var,
-       {_rsql('corr(l_extendedprice, l_quantity)', 6)} AS price_qty_corr,
-       {_rsql('covar_samp(l_discount, l_tax)', 8)} AS disc_tax_cov,
-       count_if(l_discount > 0.05) AS n_big_disc
-FROM lineitem GROUP BY l_returnflag
+       {_E04_STAT_EXPRS['price_sd']} AS price_sd,
+       {_E04_STAT_EXPRS['qty_var']} AS qty_var,
+       {_E04_STAT_EXPRS['price_qty_corr']} AS price_qty_corr,
+       {_E04_STAT_EXPRS['disc_tax_cov']} AS disc_tax_cov,
+       n_big_disc
+FROM m
 """
 
 

@@ -21,6 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# VERIFY_STRICT=1 → compare float values bit-exactly (repr of the raw double)
+# instead of rounding to 9 dp. The driver's hash is stricter than the default
+# here (it caught e04 in r1 where this comparator passed), so strict mode is
+# the honest preflight for float-bearing queries.
+STRICT = os.environ.get("VERIFY_STRICT", "") == "1"
+
 
 def canon(v):
     if v is None:
@@ -28,6 +34,8 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if STRICT:
+            return repr(v)
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
