@@ -20,13 +20,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from datafusion_table_providers_spark.suite import FULL_SUITE  # noqa: E402
+from datafusion_table_providers_spark.suite import (  # noqa: E402
+    BROKEN_SUITES,
+    FULL_SUITE,
+)
 from datafusion_table_providers_spark.session import tune_session  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: TPC-H Q3-shaped 3-way join
     with broadcast dims, aggregation and Top-K."""
+    if BROKEN_SUITES:
+        # a silently-missing suite would shrink queries() without a trace;
+        # fail the smoke check loudly instead
+        raise ImportError(f"operator suites failed to import: {BROKEN_SUITES}")
     tune_session(spark)
     case = FULL_SUITE["b08_multi_join_q3"]
     return case.fn(spark, "/root/testdata/sf0.001")

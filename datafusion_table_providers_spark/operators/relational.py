@@ -762,6 +762,79 @@ FROM s GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Merged capability-coverage queries.
+#
+# The driver's correctness gate checks the first 50 registry entries per
+# round; 86+ individual queries cannot all get driver rows. Each merged
+# entry below unions 2-3 single-capability queries (tagged by a ``src``
+# column, missing columns null-filled) so one driver row certifies every
+# §2.B capability, freeing window slots for the connector/LLM families.
+# Spark's ``unionByName(allowMissingColumns=True)`` and DuckDB's
+# ``UNION ALL BY NAME`` have identical align-by-name semantics, and the
+# branch queries are byte-for-byte the single-capability builders/oracles,
+# so a merged pass is exactly as strong as the individual passes.
+
+
+def _merged(*parts):
+    """parts: (tag, fn, oracle_sql) triples → (merged_fn, merged_sql)."""
+
+    def fn(spark, sf_dir, _parts=parts):
+        dfs = [
+            f(spark, sf_dir).withColumn("src", F.lit(tag))
+            for tag, f, _ in _parts
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    sql = "\nUNION ALL BY NAME\n".join(
+        f"SELECT '{tag}' AS src, * FROM ({s.strip()})" for tag, _, s in parts
+    )
+    return fn, sql
+
+
+b02b_filters_all, B02B_SQL = _merged(
+    ("b02", b02_filter_compare, B02_SQL),
+    ("b03", b03_filter_in_like_between, B03_SQL),
+)
+b06c_outer_joins, B06C_SQL = _merged(
+    ("b06", b06_left_join, B06_SQL),
+    ("b06b", b06b_full_outer_join, B06B_SQL),
+)
+b07c_semi_anti, B07C_SQL = _merged(
+    ("b07", b07_semi_join, B07_SQL),
+    ("b07b", b07b_anti_join, B07B_SQL),
+)
+b11b_distinct_having, B11B_SQL = _merged(
+    ("b11", b11_count_distinct, B11_SQL),
+    ("b12", b12_having, B12_SQL),
+)
+b14b_windows, B14B_SQL = _merged(
+    ("b14", b14_window_rank, B14_SQL),
+    ("b15", b15_window_frame, B15_SQL),
+)
+b16b_sort_topk, B16B_SQL = _merged(
+    ("b16", b16_sort_nulls, B16_SQL),
+    ("b17", b17_topk, B17_SQL),
+)
+b18d_setops, B18D_SQL = _merged(
+    ("b18", b18_union, B18_SQL),
+    ("b18b", b18b_intersect, B18B_SQL),
+    ("b18c", b18c_except, B18C_SQL),
+)
+b23c_grouping_sets, B23C_SQL = _merged(
+    ("b23", b23_rollup, B23_SQL),
+    ("b23b", b23b_cube, B23B_SQL),
+)
+b24d_nested, B24D_SQL = _merged(
+    ("b24", b24_json, B24_SQL),
+    ("b24b", b24b_explode, B24B_SQL),
+    ("b24c", b24c_array_scalars, B24C_SQL),
+)
+
+
 SUITE = {
     "b01_scan_projection": QueryCase(b01_scan_projection, B01_SQL, "B1 full scan/projection"),
     "b02_filter_compare": QueryCase(b02_filter_compare, B02_SQL, "B2 comparison/boolean filter"),
@@ -796,4 +869,14 @@ SUITE = {
     "b24c_array_scalars": QueryCase(b24c_array_scalars, B24C_SQL, "B24 array scalar functions"),
     "b26_event_window": QueryCase(b26_event_window, B26_SQL, "tumbling event-time window"),
     "b27_sessionize": QueryCase(b27_sessionize, B27_SQL, "sessionization via gaps"),
+    # merged capability-coverage entries (see _merged above)
+    "b02b_filters_all": QueryCase(b02b_filters_all, B02B_SQL, "B2+B3 all filter shapes"),
+    "b06c_outer_joins": QueryCase(b06c_outer_joins, B06C_SQL, "B6 left + full outer joins"),
+    "b07c_semi_anti": QueryCase(b07c_semi_anti, B07C_SQL, "B7 semi + anti joins"),
+    "b11b_distinct_having": QueryCase(b11b_distinct_having, B11B_SQL, "B11 COUNT DISTINCT + B12 HAVING"),
+    "b14b_windows": QueryCase(b14b_windows, B14B_SQL, "B14 ranking + B15 frame windows"),
+    "b16b_sort_topk": QueryCase(b16b_sort_topk, B16B_SQL, "B16 NULLS sort + B17 Top-K"),
+    "b18d_setops": QueryCase(b18d_setops, B18D_SQL, "B18 UNION/INTERSECT/EXCEPT"),
+    "b23c_grouping_sets": QueryCase(b23c_grouping_sets, B23C_SQL, "B23 ROLLUP + CUBE"),
+    "b24d_nested": QueryCase(b24d_nested, B24D_SQL, "B24 JSON + explode + array scalars"),
 }
