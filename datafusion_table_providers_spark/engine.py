@@ -69,15 +69,22 @@ class Engine:
         remote_relation: Optional[str] = None,
         partition_column: Optional[str] = None,
         num_partitions: int = 1,
+        columns: Optional[list] = None,
     ) -> DataFrame:
         """Register a connector-backed table as a Spark temp view.
 
         The view reads through the Python Data Source connector (executor-side
         Arrow batches, filter/column pushdown); federation metadata is kept so
         ``Engine.sql`` can still collapse same-backend queries.
+
+        ``columns`` prunes the remote projection (reference mod.rs:258-276):
+        list every column queries against this view will touch; the transfer
+        then carries only those instead of full-width rows.
         """
         relation = remote_relation or name
-        df = self._connector_df(backend, relation, partition_column, num_partitions)
+        df = self._connector_df(
+            backend, relation, partition_column, num_partitions, columns
+        )
         df.createOrReplaceTempView(name)
         self._tables[name] = TableHandle(name, backend, relation)
         return df
@@ -88,6 +95,7 @@ class Engine:
         relation: str,
         partition_column: Optional[str],
         num_partitions: int,
+        columns: Optional[list] = None,
     ) -> DataFrame:
         from datafusion_table_providers_spark.sources.duckdb_source import (
             duckdb_reader_df,
@@ -99,10 +107,15 @@ class Engine:
         ctx = backend.compute_context()
         if ctx.startswith("duckdb:"):
             return duckdb_reader_df(
-                self.spark, backend, relation, partition_column, num_partitions
+                self.spark,
+                backend,
+                relation,
+                partition_column,
+                num_partitions,
+                columns=columns,
             )
         if ctx.startswith("sqlite:"):
-            return sqlite_reader_df(self.spark, backend, relation)
+            return sqlite_reader_df(self.spark, backend, relation, columns=columns)
         raise ValueError(f"no connector for backend context {ctx}")
 
     # -- query ------------------------------------------------------------

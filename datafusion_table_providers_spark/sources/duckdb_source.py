@@ -76,6 +76,11 @@ class DuckDBReader(DataSourceReader):
         self.where: List[str] = []
         json.loads(options.get("parquet_tables", "{}"))  # validate early
         self._partition_clauses = json.loads(options.get("partition_clauses", "[]"))
+        # Projection pushdown (reference mod.rs:258-276): the Python DS API
+        # has no pruning hook, so required columns are threaded through the
+        # ``columns`` option (duckdb_reader_df / Engine.register_backend_table)
+        # and the generated SELECT names exactly those — never ``*``.
+        self.columns = json.loads(options.get("columns", "null"))
 
     def pushFilters(self, filters):
         """Exact/unsupported split (reference mod.rs:231-247): clauses we
@@ -91,17 +96,18 @@ class DuckDBReader(DataSourceReader):
             ]
         return [RangePartition(0, None)]
 
+    def scan_sql(self, partition=None) -> str:
+        """The exact SQL one partition sends to the engine (test surface)."""
+        where = list(self.where)
+        if partition is not None and getattr(partition, "clause", None):
+            where.append(partition.clause)
+        return build_select(
+            self.dialect, self.relation, columns=self.columns, where=where
+        )
+
     def read(self, partition) -> Iterator[pa.RecordBatch]:
         con = _worker_connect(self.options)
-        where = list(self.where)
-        if getattr(partition, "clause", None):
-            where.append(partition.clause)
-        sql = build_select(
-            self.dialect,
-            self.relation,
-            columns=None,  # Python DS API has no column-pruning hook yet
-            where=where,
-        )
+        sql = self.scan_sql(partition)
         reader = con.execute(sql).fetch_record_batch(65536)
         target = None
         while True:
@@ -151,7 +157,16 @@ class DuckDBDataSource(DataSource):
     def schema(self):
         con = _worker_connect(self.options)
         rel = self.options.get("relation")
-        arrow_schema = con.execute(f"SELECT * FROM {rel} LIMIT 0").fetch_arrow_table().schema
+        cols = json.loads(self.options.get("columns", "null"))
+        dialect = DIALECTS["duckdb"]
+        proj = (
+            ", ".join(dialect.quote_ident(c) for c in cols) if cols else "*"
+        )
+        arrow_schema = (
+            con.execute(f"SELECT {proj} FROM {rel} LIMIT 0")
+            .fetch_arrow_table()
+            .schema
+        )
         con.close()
         return arrow_to_spark_schema(_target_schema(arrow_schema))
 
@@ -174,13 +189,20 @@ def duckdb_reader_df(
     relation: str,
     partition_column: Optional[str] = None,
     num_partitions: int = 1,
+    columns: Optional[List[str]] = None,
 ) -> DataFrame:
     """Build a connector DataFrame for a backend-managed relation.
 
     When ``partition_column`` is set, bounds are introspected once on the
     driver and the scan is split into ``num_partitions`` disjoint range
     slices executed in parallel on executors (JDBC-style partitioned read —
-    deliberately beyond the reference's UnknownPartitioning(1))."""
+    deliberately beyond the reference's UnknownPartitioning(1)).
+
+    ``columns`` prunes the remote projection to exactly those columns
+    (reference mod.rs:258-276) — pass every column the Spark plan touches,
+    including filter-only columns; Spark prunes its own output afterwards
+    but the wire transfer carries only what is listed. Without it the scan
+    fetches full-width rows, which Catalyst cannot fix post-transfer."""
     register(spark)
     opts = {
         "path": backend.path,
@@ -189,6 +211,8 @@ def duckdb_reader_df(
         "attach": json.dumps(list(getattr(backend, "attach", ()))),
         "parquet_tables": json.dumps(getattr(backend, "parquet_tables", {})),
     }
+    if columns:
+        opts["columns"] = json.dumps(list(columns))
     if backend.path == ":memory:" and not backend.parquet_tables:
         raise ValueError(
             "in-memory DuckDB tables are not visible to executor processes; "

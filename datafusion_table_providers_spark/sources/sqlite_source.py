@@ -68,6 +68,11 @@ class SQLiteReader(DataSourceReader):
         self.relation = options.get("relation")
         self.dialect = DIALECTS["sqlite"]
         self.where: List[str] = []
+        import json as _json
+
+        # projection pushdown via explicit option (same contract as the
+        # DuckDB reader — the Python DS API has no pruning hook)
+        self.columns = _json.loads(options.get("columns", "null"))
 
     def pushFilters(self, filters):
         clauses, unsupported = translate_filters(filters, self.dialect)
@@ -80,7 +85,9 @@ class SQLiteReader(DataSourceReader):
     def read(self, partition) -> Iterator[pa.RecordBatch]:
         con = sqlite3.connect(self.options["path"])
         try:
-            sql = build_select(self.dialect, self.relation, None, self.where)
+            sql = build_select(
+                self.dialect, self.relation, self.columns, self.where
+            )
             cur = con.execute(sql)
             arrow_schema = pa.schema(
                 [
@@ -119,12 +126,19 @@ class SQLiteDataSource(DataSource):
             ).fetchall()
             if not info:
                 raise ValueError(f"no such sqlite table: {self.options['relation']}")
-            return T.StructType(
-                [
-                    T.StructField(name, _decl_to_spark(decl), notnull == 0)
-                    for (_, name, decl, notnull, _, _) in info
-                ]
-            )
+            import json as _json
+
+            cols = _json.loads(self.options.get("columns", "null"))
+            fields = {
+                name: T.StructField(name, _decl_to_spark(decl), notnull == 0)
+                for (_, name, decl, notnull, _, _) in info
+            }
+            if cols:
+                missing = [c for c in cols if c not in fields]
+                if missing:
+                    raise ValueError(f"unknown columns {missing} in {self.options['relation']}")
+                return T.StructType([fields[c] for c in cols])
+            return T.StructType(list(fields.values()))
         finally:
             con.close()
 
@@ -141,16 +155,22 @@ def register(spark: SparkSession) -> None:
         _REGISTERED.add(id(spark))
 
 
-def sqlite_reader_df(spark: SparkSession, backend, relation: str) -> DataFrame:
+def sqlite_reader_df(
+    spark: SparkSession, backend, relation: str, columns=None
+) -> DataFrame:
     register(spark)
     if backend.path == ":memory:":
         raise ValueError(
             "in-memory SQLite is process-local; use a file-mode backend "
             "or Engine.sql federation"
         )
-    return (
+    import json as _json
+
+    reader = (
         spark.read.format("sqlite_engine")
         .option("path", backend.path)
         .option("relation", relation)
-        .load()
     )
+    if columns:
+        reader = reader.option("columns", _json.dumps(list(columns)))
+    return reader.load()

@@ -54,7 +54,14 @@ def c01_duckdb_scan_pushdown(spark, sf_dir):
     )
 
     backend = _duckdb_parquet_backend(sf_dir)
-    df = duckdb_reader_df(spark, backend, "orders")
+    # projection pruned to exactly the columns the plan touches (3 output +
+    # the filter-only o_orderstatus, which the pushed WHERE consumes remotely)
+    df = duckdb_reader_df(
+        spark,
+        backend,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+    )
     return df.filter(
         (F.col("o_totalprice") > 300000) & (F.col("o_orderstatus") == "O")
     ).select("o_orderkey", "o_custkey", "o_totalprice")
@@ -75,7 +82,12 @@ def c02_duckdb_partitioned_scan(spark, sf_dir):
 
     backend = _duckdb_parquet_backend(sf_dir)
     df = duckdb_reader_df(
-        spark, backend, "orders", partition_column="o_orderkey", num_partitions=8
+        spark,
+        backend,
+        "orders",
+        partition_column="o_orderkey",
+        num_partitions=8,
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
     )
     return df.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
@@ -145,6 +157,10 @@ SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 500
 # --- C5: upsert (ON CONFLICT DO UPDATE) ----------------------------------
 def c05_duckdb_upsert(spark, sf_dir):
     utc(spark)
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
     path = os.path.join(tempfile.gettempdir(), f"engine_u_{_tag(sf_dir)}.duckdb")
     if os.path.exists(path):
         os.remove(path)
@@ -167,11 +183,9 @@ def c05_duckdb_upsert(spark, sf_dir):
         on_conflict=OnConflict.upsert(["c_custkey"]),
         create=False,
     )
-    return spark.createDataFrame(
-        backend.query_arrow(
-            'SELECT c_custkey, c_acctbal FROM "cust" ORDER BY c_custkey'
-        )
-    )
+    backend.close()  # release RW lock -> executors open read-only
+    df = duckdb_reader_df(spark, backend, "cust", columns=["c_custkey", "c_acctbal"])
+    return df
 
 
 C05_SQL = """
@@ -184,6 +198,10 @@ FROM customer WHERE c_custkey <= 400
 # --- C6: DELETE + UPDATE DML ---------------------------------------------
 def c06_duckdb_dml(spark, sf_dir):
     utc(spark)
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
     path = os.path.join(tempfile.gettempdir(), f"engine_d_{_tag(sf_dir)}.duckdb")
     if os.path.exists(path):
         os.remove(path)
@@ -195,8 +213,9 @@ def c06_duckdb_dml(spark, sf_dir):
         backend, "nat", {"n_name": "lower(n_name)"}, "n_regionkey = 1"
     )
     assert n_del > 0 and n_upd > 0
-    return spark.createDataFrame(
-        backend.query_arrow('SELECT n_nationkey, n_name, n_regionkey FROM "nat"')
+    backend.close()
+    return duckdb_reader_df(
+        spark, backend, "nat", columns=["n_nationkey", "n_name", "n_regionkey"]
     )
 
 
@@ -223,7 +242,12 @@ def c07_sqlite_roundtrip(spark, sf_dir):
     writer.insert_into(
         backend, "supplier_copy", sup, mode="append", primary_keys=["s_suppkey"]
     )
-    df = sqlite_reader_df(spark, backend, "supplier_copy")
+    df = sqlite_reader_df(
+        spark,
+        backend,
+        "supplier_copy",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
     return (
         df.filter(F.col("s_acctbal") > 5000)
         .select(
@@ -244,6 +268,10 @@ FROM supplier WHERE s_acctbal > 5000
 # --- C8: overwrite atomicity ---------------------------------------------
 def c08_duckdb_overwrite(spark, sf_dir):
     utc(spark)
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
     path = os.path.join(tempfile.gettempdir(), f"engine_o_{_tag(sf_dir)}.duckdb")
     if os.path.exists(path):
         os.remove(path)
@@ -253,8 +281,9 @@ def c08_duckdb_overwrite(spark, sf_dir):
     # overwrite with a transformed generation — old data must fully vanish
     reg2 = reg.withColumn("r_name", F.concat(F.lit("NEW_"), F.col("r_name")))
     writer.insert_into(backend, "reg", reg2, mode="overwrite", create=False)
-    return spark.createDataFrame(
-        backend.query_arrow('SELECT r_regionkey, r_name FROM "reg"')
+    backend.close()
+    return duckdb_reader_df(
+        spark, backend, "reg", columns=["r_regionkey", "r_name"]
     )
 
 

@@ -148,3 +148,75 @@ def test_engine_federates_union_and_window(spark, tmp_path):
     assert [(r["grp"], r["mx"]) for r in out] == [
         ("g0", 25), ("g1", 25), ("g2", 25), ("g3", 25)
     ]
+
+
+def test_column_pruning_in_generated_sql(spark, tmp_path):
+    """A3 projection pushdown: the generated SELECT names exactly the
+    requested columns (reference mod.rs:258-276) — never ``*``."""
+    import json
+
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        DuckDBReader,
+        duckdb_reader_df,
+    )
+
+    b = _filled_backend(spark, tmp_path)
+    reader = DuckDBReader(
+        None,
+        {
+            "path": b.path,
+            "relation": "t",
+            "columns": json.dumps(["id", "v"]),
+        },
+    )
+    sql = reader.scan_sql()
+    assert sql == 'SELECT "id", "v" FROM t'
+    assert "*" not in sql
+
+    # end-to-end: schema and data carry only the pruned columns
+    df = duckdb_reader_df(spark, b, "t", columns=["id", "v"])
+    assert df.columns == ["id", "v"]
+    assert df.count() == 100
+
+    # pruning composes with filter pushdown: WHERE may reference a pruned
+    # projection column; both land in the remote SQL
+    df2 = duckdb_reader_df(spark, b, "t", columns=["id", "grp"]).filter(
+        F.col("grp") == "g1"
+    )
+    plan = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan
+    assert df2.count() == 25
+
+
+def test_sqlite_column_pruning(spark, tmp_path):
+    from datafusion_table_providers_spark.sources.backends import SQLiteBackend
+    from datafusion_table_providers_spark.sources.sqlite_source import (
+        sqlite_reader_df,
+    )
+
+    b = SQLiteBackend(str(tmp_path / "p.db"))
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}", float(i)) for i in range(20)], SCHEMA
+    )
+    writer.insert_into(b, "t", df)
+    out = sqlite_reader_df(spark, b, "t", columns=["id", "v"])
+    assert out.columns == ["id", "v"]
+    assert out.count() == 20
+
+
+def test_no_driver_readback_in_suite_queries():
+    """c04-c08 must read back through the executor-side connector, not
+    spark.createDataFrame(backend.query_arrow(...)) on the driver."""
+    import inspect
+
+    from datafusion_table_providers_spark.sources import suite as s
+
+    for fn in (
+        s.c04_duckdb_write_roundtrip,
+        s.c05_duckdb_upsert,
+        s.c06_duckdb_dml,
+        s.c07_sqlite_roundtrip,
+        s.c08_duckdb_overwrite,
+    ):
+        src = inspect.getsource(fn)
+        assert "createDataFrame" not in src, fn.__name__
