@@ -30,12 +30,81 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence, Set
 
 from pyspark.sql import DataFrame, SparkSession
 
 from datafusion_table_providers_spark.session import tune_session
 from datafusion_table_providers_spark.sources.backends import Backend
+
+
+def _sql_identifiers(sql: str) -> Set[str]:
+    """Lower-cased identifiers appearing in ``sql`` outside string literals
+    and comments, excluding dot-qualified members (``a.b`` contributes only
+    ``a``). A lexer, not a parser: it cannot tell a table from a column of
+    the same name — that residual ambiguity is what the explicit ``tables=``
+    parameter is for."""
+    idents: Set[str] = set()
+    i, n = 0, len(sql)
+    prev_dot = False
+    while i < n:
+        c = sql[i]
+        if c == "'":  # string literal ('' escapes)
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            prev_dot = False
+            continue
+        if c == '"':  # quoted identifier ("" escapes)
+            j = i + 1
+            buf = []
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        buf.append('"')
+                        j += 2
+                        continue
+                    break
+                buf.append(sql[j])
+                j += 1
+            if not prev_dot:
+                idents.add("".join(buf).lower())
+            i = j + 1
+            prev_dot = False
+            continue
+        if sql.startswith("--", i):
+            nl = sql.find("\n", i)
+            if nl < 0:
+                break
+            i = nl + 1
+            prev_dot = False
+            continue
+        if sql.startswith("/*", i):
+            end = sql.find("*/", i + 2)
+            if end < 0:
+                break
+            i = end + 2
+            prev_dot = False
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            if not prev_dot:
+                idents.add(sql[i:j].lower())
+            prev_dot = False
+            i = j
+            continue
+        if not c.isspace():
+            prev_dot = c == "."
+        i += 1
+    return idents
 
 
 @dataclass
@@ -119,9 +188,27 @@ class Engine:
         raise ValueError(f"no connector for backend context {ctx}")
 
     # -- query ------------------------------------------------------------
-    def sql(self, query: str) -> DataFrame:
-        """Run SQL with whole-plan federation when possible."""
-        handles = self._referenced(query)
+    def sql(
+        self,
+        query: str,
+        tables: Optional[Sequence[str]] = None,
+        threshold_rows: Optional[int] = None,
+        spool_dir: Optional[str] = None,
+    ) -> DataFrame:
+        """Run SQL with whole-plan federation when possible.
+
+        ``tables`` names the referenced registered tables explicitly and
+        skips identifier detection. Pushed-fragment results above
+        ``threshold_rows`` (default transport.DEFAULT_THRESHOLD_ROWS) are
+        spooled to parquet and read on executors rather than materialized in
+        driver memory; on a cluster, pass ``spool_dir`` on shared storage.
+        """
+        from datafusion_table_providers_spark.sources.transport import (
+            DEFAULT_THRESHOLD_ROWS,
+            materialize_remote,
+        )
+
+        handles = self._referenced(query, tables)
         backends = {h.backend for h in handles.values()}
         contexts = {
             h.backend.compute_context() for h in handles.values() if h.backend
@@ -129,13 +216,24 @@ class Engine:
         if handles and None not in backends and len(contexts) == 1:
             backend = next(iter(backends))
             pushed = self._with_cte_prelude(query, handles)
-            arrow = backend.query_arrow(pushed)
-            return self.spark.createDataFrame(arrow)
+            return materialize_remote(
+                self.spark,
+                backend,
+                pushed,
+                threshold_rows=(
+                    DEFAULT_THRESHOLD_ROWS
+                    if threshold_rows is None
+                    else threshold_rows
+                ),
+                spool_dir=spool_dir,
+            )
         return self.spark.sql(query)
 
-    def explain_federation(self, query: str) -> str:
+    def explain_federation(
+        self, query: str, tables: Optional[Sequence[str]] = None
+    ) -> str:
         """Report which execution path ``sql`` would take (for tests/docs)."""
-        handles = self._referenced(query)
+        handles = self._referenced(query, tables)
         contexts = {
             h.backend.compute_context() if h.backend else "spark"
             for h in handles.values()
@@ -144,12 +242,26 @@ class Engine:
             return f"federated[{next(iter(contexts))}]"
         return f"spark[{', '.join(sorted(contexts)) or 'no-tables'}]"
 
-    def _referenced(self, query: str) -> Dict[str, TableHandle]:
-        found = {}
-        for name, h in self._tables.items():
-            if re.search(rf"(?<![\w.]){re.escape(name)}(?![\w.])", query, re.I):
-                found[name] = h
-        return found
+    def _referenced(
+        self, query: str, tables: Optional[Sequence[str]] = None
+    ) -> Dict[str, TableHandle]:
+        """Registered tables the query references.
+
+        Matches at the identifier level: string literals and comments are
+        skipped and dot-qualified members (``alias.col``) don't count, so a
+        table name appearing inside a literal/comment/qualified column no
+        longer misroutes the query (the round-1 regex did). Callers that
+        need exactness (a column alias shadowing a table name) pass
+        ``tables`` explicitly.
+        """
+        if tables is not None:
+            return {n: self._tables[n] for n in tables if n in self._tables}
+        idents = _sql_identifiers(query)
+        return {
+            name: h
+            for name, h in self._tables.items()
+            if name.lower() in idents
+        }
 
     def _with_cte_prelude(self, query: str, handles: Dict[str, TableHandle]) -> str:
         ctes = [

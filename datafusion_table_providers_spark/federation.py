@@ -179,14 +179,26 @@ class FederationPlan:
 
 
 def materialize(
-    spark: SparkSession, rel: Rel, explain: Optional[FederationPlan] = None
+    spark: SparkSession,
+    rel: Rel,
+    explain: Optional[FederationPlan] = None,
+    threshold_rows: Optional[int] = None,
+    spool_dir: Optional[str] = None,
 ) -> DataFrame:
     """Execute with maximal same-context subtree pushdown.
 
     Walks top-down: the first node whose whole subtree shares a context is
     unparsed and executed remotely as ONE statement (maximality — exactly
     the reference's grouping rule); everything above runs on Spark over the
-    materialized fragments."""
+    materialized fragments. Fragment results above ``threshold_rows`` are
+    spooled to parquet (executor-side read) instead of transiting driver
+    memory — see sources/transport.py."""
+    from datafusion_table_providers_spark.sources.transport import (
+        DEFAULT_THRESHOLD_ROWS,
+        materialize_remote,
+    )
+
+    limit = DEFAULT_THRESHOLD_ROWS if threshold_rows is None else threshold_rows
 
     def remote_name(t: Rel) -> str:
         return t.remote_relation
@@ -199,9 +211,11 @@ def materialize(
             backend = node.leaves()[0].backend
             if explain is not None:
                 explain.pushed.append((ctx, sql))
-            arrow = backend.query_arrow(sql)
+            df = materialize_remote(
+                spark, backend, sql, threshold_rows=limit, spool_dir=spool_dir
+            )
             view = f"__fed_{next(_IDS)}"
-            return f"SELECT * FROM {view}", {view: spark.createDataFrame(arrow)}
+            return f"SELECT * FROM {view}", {view: df}
         if node.kind == "table":  # spark-native leaf
             return f"SELECT * FROM {node.table}", {}
         parts = [walk(c) for c in node.children]

@@ -220,3 +220,62 @@ def test_no_driver_readback_in_suite_queries():
     ):
         src = inspect.getsource(fn)
         assert "createDataFrame" not in src, fn.__name__
+
+
+def test_table_detection_ignores_literals_and_comments(spark, tmp_path):
+    """Identifier-level table detection: a registered name inside a string
+    literal, comment, or as a dot-qualified member must not trigger (or
+    suppress) federation routing."""
+    b = _filled_backend(spark, tmp_path)
+    eng = Engine(spark)
+    eng.register_backend_table("ordtab", b, "t")
+
+    # name only inside a string literal / comment -> NOT referenced -> spark path
+    assert eng.explain_federation(
+        "SELECT 'ordtab' AS label, * FROM t2 -- ordtab mention"
+    ).startswith("spark")
+    assert eng.explain_federation(
+        "SELECT * FROM t2 /* join ordtab later */"
+    ).startswith("spark")
+    # real reference still federates, even with a literal mention alongside
+    assert eng.explain_federation(
+        "SELECT 'not ordtab' AS x, count(*) AS n FROM ordtab"
+    ).startswith("federated")
+    # dot-qualified member of another relation does not count
+    assert eng.explain_federation(
+        "SELECT other.ordtab FROM other"
+    ).startswith("spark")
+    # explicit tables= overrides detection entirely
+    assert eng.explain_federation(
+        "SELECT count(*) AS n FROM ordtab", tables=[]
+    ).startswith("spark")
+    # and the federated path still answers correctly with a literal decoy
+    out = eng.sql("SELECT 'ordtab is here' AS tag, count(*) AS n FROM ordtab")
+    row = out.collect()[0]
+    assert row.n == 100 and row.tag == "ordtab is here"
+
+
+def test_quoted_identifier_detection(spark, tmp_path):
+    b = _filled_backend(spark, tmp_path)
+    eng = Engine(spark)
+    eng.register_backend_table("qtab", b, "t")
+    assert eng.explain_federation('SELECT count(*) AS n FROM "qtab"').startswith(
+        "federated"
+    )
+
+
+def test_large_fragment_spools_off_driver(spark, tmp_path):
+    """A pushed fragment above threshold_rows must come back through a
+    parquet spool (executor-side FileScan), not driver createDataFrame."""
+    b = _filled_backend(spark, tmp_path, n=500)
+    eng = Engine(spark)
+    eng.register_backend_table("spooled", b, "t")
+    df = eng.sql("SELECT id, v FROM spooled", threshold_rows=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower(), plan
+    assert df.count() == 500
+    # small results stay on the one-hop in-memory path
+    df2 = eng.sql("SELECT count(*) AS n FROM spooled", threshold_rows=100)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan2.lower(), plan2
+    assert df2.collect()[0].n == 500
