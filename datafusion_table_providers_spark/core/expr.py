@@ -41,17 +41,19 @@ class Dialect:
             return "TRUE" if value else "FALSE"
         if isinstance(value, float) and not math.isfinite(value):
             # repr() would emit bare inf/nan tokens, which bind as column
-            # references — render the portable string-cast form instead
+            # references — render the portable string-cast form instead.
+            # DOUBLE PRECISION is the ANSI spelling: bare DOUBLE is not a
+            # Postgres type and CAST…AS DOUBLE needs MySQL ≥ 8.0.17.
             if math.isnan(value):
-                return "CAST('NaN' AS DOUBLE)"
+                return "CAST('NaN' AS DOUBLE PRECISION)"
             sign = "-" if value < 0 else ""
-            return f"CAST('{sign}Infinity' AS DOUBLE)"
+            return f"CAST('{sign}Infinity' AS DOUBLE PRECISION)"
         if isinstance(value, float):
             # bare decimal literals parse as DECIMAL in several engines
             # (DuckDB included) and the DECIMAL→DOUBLE hop can lose a ULP;
             # a string→double cast is correctly rounded, so repr() (the
             # shortest round-tripping form) survives exactly
-            return f"CAST('{repr(value)}' AS DOUBLE)"
+            return f"CAST('{repr(value)}' AS DOUBLE PRECISION)"
         if isinstance(value, int):
             return repr(value)
         if isinstance(value, dt.datetime):
@@ -97,6 +99,20 @@ class PostgresDialect(Dialect):
 class MySQLDialect(Dialect):
     name = "mysql"
     quote_char = "`"
+
+    def literal(self, value) -> str:
+        # MySQL's CAST accepts DOUBLE only from 8.0.17 and never DOUBLE
+        # PRECISION; an exponent-notation numeric literal IS approximate
+        # (double) in MySQL, so emit that instead. repr() is the shortest
+        # round-tripping decimal → parses back to the identical double.
+        if isinstance(value, float) and not isinstance(value, bool):
+            if not math.isfinite(value):
+                # MySQL has no NaN/Infinity literals; raising makes
+                # translate_filters keep the filter Spark-side (Inexact)
+                raise ValueError("MySQL cannot represent NaN/Infinity")
+            r = repr(value)
+            return r if ("e" in r or "E" in r) else r + "E0"
+        return super().literal(value)
 
 
 class ClickHouseDialect(Dialect):

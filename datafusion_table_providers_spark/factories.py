@@ -197,6 +197,8 @@ class ClickHouseTableFactory(PostgresTableFactory):
     def get_table(self, table_reference: str, args=None, **partitioning) -> DataFrame:
         rel = table_reference
         if args:
+            import re as _re
+
             pairs = args.items() if isinstance(args, dict) else list(args)
             for p in pairs if isinstance(pairs, list) else []:
                 if not (isinstance(p, (tuple, list)) and len(p) == 2):
@@ -205,6 +207,15 @@ class ClickHouseTableFactory(PostgresTableFactory):
                         f"pairs; got element {p!r}"
                     )
             lit = self.backend.dialect.literal
+            # argument VALUES are escaped by dialect.literal; NAMES are
+            # interpolated verbatim into name(k=v, ...) syntax, so they must
+            # be plain identifiers or they're an injection path
+            for k, _v in pairs:
+                if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(k)):
+                    raise ValueError(
+                        f"parameterized-view argument name {k!r} is not a "
+                        "valid identifier"
+                    )
             rendered = ", ".join(f"{k} = {lit(v)}" for k, v in pairs)
             rel = f"(SELECT * FROM {table_reference}({rendered})) AS t"
         return self.backend.reader_df(self._session(), rel, **partitioning)

@@ -202,6 +202,26 @@ class SQLiteBackend(Backend):
             con.commit()
             return cur.rowcount if cur.rowcount >= 0 else 0
 
+    def transaction(self):
+        """Context manager yielding the raw connection with the backend lock
+        held; commits on exit, rolls back on error. Lets multi-statement
+        units (data + commit-log marker in the streaming sink) be atomic —
+        the per-call auto-commit of execute/executemany cannot."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _tx():
+            with self._lock:
+                con = self._connect()
+                try:
+                    yield con
+                    con.commit()
+                except BaseException:
+                    con.rollback()
+                    raise
+
+        return _tx()
+
     def table_names(self) -> list:
         with self._lock:
             rows = self._connect().execute(

@@ -70,6 +70,15 @@ class FlightReader(DataSourceReader):
     def __init__(self, schema, options):
         self.spark_schema = schema
         self.options = options
+        # the DECLARED schema every batch must be cast to (exec.rs:226-265):
+        # captured driver-side at construction and pickled to executors with
+        # the reader (mutations made later, e.g. in partitions(), are not
+        # guaranteed to reach read()). Casting to the first batch's schema
+        # instead (the round-1 bug) breaks when endpoints serve
+        # different-but-compatible encodings (dictionary, large_utf8, ...).
+        client, info = _flight_info(options)
+        self.declared_schema: pa.Schema = info.schema
+        client.close()
 
     def partitions(self):
         client, info = _flight_info(self.options)
@@ -96,12 +105,12 @@ class FlightReader(DataSourceReader):
         client = _client(location, self.options)
         opts = flight.FlightCallOptions(headers=_headers(self.options))
         reader = client.do_get(flight.Ticket(partition.ticket), opts)
-        target = None
+        target = self.declared_schema
         for chunk in reader:
             batch = chunk.data
             if batch is None:
                 continue
-            if target is None:
+            if target is None:  # defensive: partitions() always sets it
                 target = batch.schema
             yield enforce_schema(batch, target)
         client.close()

@@ -59,13 +59,54 @@ class RemoteSqlBackend:
             "postgres": "postgresql",
             "mysql": "mysql",
             "clickhouse": "clickhouse",
-            # ODBC/ADBC: the "database" field carries the DSN / driver URI
-            "odbc": "odbc",
-            "adbc": "adbc",
-        }[self.kind]
-        if self.kind in ("odbc", "adbc"):
-            return f"jdbc:{scheme}:{self.database}"
+        }.get(self.kind)
+        if scheme is None:
+            # ADVICE r1: jdbc:odbc: URLs target the JDBC-ODBC bridge removed
+            # in Java 8, and no "adbc" JDBC scheme exists — those transports
+            # go through the DB-API reader (dbapi_spec/reader_df), never JDBC
+            raise ValueError(
+                f"{self.kind} has no JDBC transport; use reader_df (DB-API "
+                "path) or pass an explicit driver class + url via properties"
+            )
         return f"jdbc:{scheme}://{self.host}:{self.port}/{self.database}"
+
+    def dbapi_spec(self):
+        """(module, connect_args, connect_kwargs) for the DB-API transport.
+
+        ODBC: the ``database`` field carries the connection string →
+        ``pyodbc.connect(conn_str)``. ADBC: it carries the driver URI →
+        ``adbc_driver_manager.dbapi.connect(driver=..., db_kwargs={'uri':…})``
+        when ``properties['driver']`` names the driver library, else the
+        uri-only form for drivers that self-register. Postgres/MySQL can opt
+        into DB-API with properties['transport']='dbapi' (psycopg /
+        MySQLdb), which needs no JVM driver jar.
+        """
+        if self.kind == "odbc":
+            return "pyodbc", [self.database], {}
+        if self.kind == "adbc":
+            kwargs = {"uri": self.database}
+            if "driver" in self.properties:
+                kwargs["driver"] = self.properties["driver"]
+            return "adbc_driver_manager.dbapi", [], kwargs
+        if self.kind == "postgres":
+            dsn = (
+                f"host={self.host} port={self.port} dbname={self.database} "
+                f"user={self.user}"
+            )
+            if self.password_provider is not None:
+                dsn += f" password={self.password_provider()}"
+            return "psycopg", [dsn], {}
+        if self.kind == "mysql":
+            kwargs = {
+                "host": self.host,
+                "port": self.port,
+                "database": self.database,
+                "user": self.user,
+            }
+            if self.password_provider is not None:
+                kwargs["password"] = self.password_provider()
+            return "MySQLdb", [], kwargs
+        raise ValueError(f"no DB-API mapping for {self.kind}")
 
     def jdbc_options(
         self,
@@ -103,7 +144,40 @@ class RemoteSqlBackend:
         opts.update(self.properties)
         return opts
 
-    def reader_df(self, spark: SparkSession, table: str, **partitioning) -> DataFrame:
+    def reader_df(
+        self,
+        spark: SparkSession,
+        table: str,
+        columns: Optional[Sequence[str]] = None,
+        schema_ddl: Optional[str] = None,
+        **partitioning,
+    ) -> DataFrame:
+        """Scan DataFrame for a remote table.
+
+        Postgres/MySQL/ClickHouse default to Spark's JVM JDBC source
+        (partitioned, pushdown built in) and need a driver jar; ODBC/ADBC —
+        and any backend with properties['transport']='dbapi' — go through
+        the Python DB-API data source (sources/dbapi_source.py), which needs
+        only an importable driver module on the executors."""
+        use_dbapi = self.kind in ("odbc", "adbc") or (
+            self.properties.get("transport") == "dbapi"
+        )
+        if use_dbapi:
+            from datafusion_table_providers_spark.sources.dbapi_source import (
+                dbapi_reader_df,
+            )
+
+            module, args, kwargs = self.dbapi_spec()
+            return dbapi_reader_df(
+                spark,
+                module,
+                table,
+                connect_args=args,
+                connect_kwargs=kwargs,
+                dialect=self.kind if self.kind in DIALECTS else "odbc",
+                columns=list(columns) if columns else None,
+                schema_ddl=schema_ddl,
+            )
         return (
             spark.read.format("jdbc")
             .options(**self.jdbc_options(table, **partitioning))

@@ -217,15 +217,31 @@ def stream_to_backend(
             writer.create_table(backend, table, batch_df.schema)
             first["create"] = False
         if not hasattr(backend, "register_arrow"):
-            # Backends without Arrow staging (SQLite) fall back to the plain
-            # writer + separate marker insert: at-least-once on a crash
-            # between the two statements, exactly-once otherwise.
-            writer.insert_into(
-                backend, table, batch_df, on_conflict=on_conflict, create=False
+            # Backends without Arrow staging (SQLite): batch rows and the
+            # commit-log marker land in ONE connection-level transaction, so
+            # a crash between them can never double-apply a replayed batch —
+            # same exactly-once guarantee as the Arrow-staging path below.
+            cols_l = [f.name for f in batch_df.schema.fields]
+            col_sql = ", ".join(f'"{c}"' for c in cols_l)
+            ph = ", ".join("?" for _ in cols_l)
+            conflict_l = (
+                " " + on_conflict.to_sql(cols_l, backend.dialect.name)
+                if on_conflict
+                else ""
             )
-            backend.execute(
-                f"INSERT INTO \"{commits}\" VALUES ('{run_id}', {batch_id})"
-            )
+            ins = f'INSERT INTO "{table}" ({col_sql}) VALUES ({ph}){conflict_l}'
+            with backend.transaction() as con:
+                rows = []
+                for row in batch_df.toLocalIterator():
+                    rows.append(tuple(row[c] for c in cols_l))
+                    if len(rows) >= 10000:
+                        con.executemany(ins, rows)
+                        rows = []
+                if rows:
+                    con.executemany(ins, rows)
+                con.execute(
+                    f'INSERT INTO "{commits}" VALUES (?, ?)', (run_id, batch_id)
+                )
             return
         # Data and the commit-log marker land in ONE transaction: a crash
         # between them can therefore never double-apply a replayed batch

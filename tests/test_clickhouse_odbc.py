@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import types as T
 
 from datafusion_table_providers_spark.core.expr import DIALECTS
@@ -90,7 +92,20 @@ def test_backend_urls_and_contexts():
     assert ch.compute_context() == "clickhouse:ch-host:8123/default?user=default"
 
     odbc = RemoteSqlBackend("odbc", "", 0, "DSN=warehouse;UID=u", "u")
-    assert odbc.jdbc_url() == "jdbc:odbc:DSN=warehouse;UID=u"
+    # no jdbc:odbc synthesis (the JDBC-ODBC bridge died with Java 8) — the
+    # ODBC transport is the DB-API reader
+    with pytest.raises(ValueError, match="no JDBC transport"):
+        odbc.jdbc_url()
+    assert odbc.dbapi_spec() == ("pyodbc", ["DSN=warehouse;UID=u"], {})
+    adbc = RemoteSqlBackend(
+        "adbc", "", 0, "postgresql://h/db", "u",
+        properties={"driver": "adbc_driver_postgresql"},
+    )
+    assert adbc.dbapi_spec() == (
+        "adbc_driver_manager.dbapi",
+        [],
+        {"uri": "postgresql://h/db", "driver": "adbc_driver_postgresql"},
+    )
     # same DSN → same federation context; different DSN → different
     odbc2 = RemoteSqlBackend("odbc", "", 0, "DSN=other", "u")
     assert odbc.compute_context() != odbc2.compute_context()
@@ -120,4 +135,4 @@ def test_clickhouse_factory_arg_rendering():
         assert "clickhouse:h:8123/d" in str(e)
 
     o = ODBCTableFactory({"connection_string": "DSN=wh"})
-    assert o.backend.jdbc_url() == "jdbc:odbc:DSN=wh"
+    assert o.backend.dbapi_spec() == ("pyodbc", ["DSN=wh"], {})

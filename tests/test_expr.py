@@ -4,6 +4,7 @@ Mirrors the reference's generated-SQL string assertions
 (core tests mod.rs:788-807,872-1021) and the Exact/unsupported filter split
 (crates/common/src/sql/sql_provider_datafusion/expr.rs)."""
 
+import pytest
 import datetime as dt
 
 from pyspark.sql.datasource import (
@@ -31,7 +32,7 @@ def test_equal_and_compare():
     )
     # floats render as string-casts: bare decimal literals parse as DECIMAL
     # in several engines and the DECIMAL→DOUBLE hop can lose a ULP
-    assert clauses == ['"a" = 1', "(\"b\" > CAST('2.5' AS DOUBLE))"]
+    assert clauses == ['"a" = 1', "(\"b\" > CAST('2.5' AS DOUBLE PRECISION))"]
     assert rest == []
 
 
@@ -76,7 +77,7 @@ def test_literals():
 
     assert DIALECTS["sqlite"].literal(b"\x01\xff") == "X'01ff'"
     assert DIALECTS["postgres"].literal(b"\x01\xff") == "decode('01ff', 'hex')"
-    assert D.literal(float("inf")) == "CAST('Infinity' AS DOUBLE)"
+    assert D.literal(float("inf")) == "CAST('Infinity' AS DOUBLE PRECISION)"
 
 
 def test_build_select_shapes():
@@ -92,3 +93,34 @@ def test_build_select_shapes():
 def test_mysql_quoting():
     m = DIALECTS["mysql"]
     assert m.quote_ident("a`b") == "`a``b`"
+
+
+def test_float_literal_portable_across_dialects():
+    """ADVICE r1: bare DOUBLE is not a Postgres type and MySQL's CAST only
+    learned DOUBLE in 8.0.17 — the base dialect must emit the ANSI
+    DOUBLE PRECISION spelling and MySQL must use exponent-notation numeric
+    literals (approximate type in MySQL's grammar)."""
+    import math
+
+    from datafusion_table_providers_spark.core.expr import DIALECTS
+
+    for name in ("ansi", "duckdb", "sqlite", "postgres", "clickhouse", "odbc", "adbc"):
+        lit = DIALECTS[name].literal(0.25)
+        assert "DOUBLE PRECISION" in lit, (name, lit)
+        assert " AS DOUBLE)" not in lit, (name, lit)
+        nan = DIALECTS[name].literal(float("nan"))
+        assert "DOUBLE PRECISION" in nan, (name, nan)
+
+    my = DIALECTS["mysql"]
+    assert my.literal(0.25) == "0.25E0"
+    assert my.literal(1e-05) == "1e-05"
+    with pytest.raises(ValueError):
+        my.literal(float("inf"))
+    with pytest.raises(ValueError):
+        my.literal(float("nan"))
+
+    # exactness preserved through a real engine for the ANSI form
+    import duckdb
+
+    v = 0.1 + 0.2  # not exactly representable in shorter decimal
+    assert duckdb.sql(f"SELECT {DIALECTS['duckdb'].literal(v)} x").fetchone()[0] == v

@@ -91,3 +91,11 @@ def test_flight_factory(spark):
         assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
     finally:
         s.shutdown()
+
+
+def test_clickhouse_arg_key_injection_rejected(spark):
+    from datafusion_table_providers_spark.factories import ClickHouseTableFactory
+
+    f = ClickHouseTableFactory({"url": "tcp://localhost:9000"})
+    with pytest.raises(ValueError, match="not a valid identifier"):
+        f.get_table("param_view", args={"k=1) ; DROP TABLE x; --": "v"})

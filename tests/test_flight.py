@@ -86,3 +86,53 @@ def test_enforce_schema_casts():
     out = enforce_schema(batch, target)
     assert out.schema == target
     assert out.column(0).to_pylist() == [1, 2]
+
+
+class VariantEncodingServer(flight.FlightServerBase):
+    """Declares plain utf8 in FlightInfo but one endpoint streams a
+    dictionary-encoded variant — the reader must cast every batch to the
+    DECLARED schema, not whichever batch arrived first (exec.rs:226-265)."""
+
+    def __init__(self):
+        super().__init__("grpc://127.0.0.1:0")
+        self.declared = pa.schema([("id", pa.int64()), ("name", pa.utf8())])
+
+    def get_flight_info(self, context, descriptor):
+        endpoints = [
+            flight.FlightEndpoint(b"plain", []),
+            flight.FlightEndpoint(b"dict", []),
+        ]
+        return flight.FlightInfo(self.declared, descriptor, endpoints, -1, -1)
+
+    def do_get(self, context, ticket):
+        if ticket.ticket == b"plain":
+            t = pa.table(
+                {"id": pa.array([1, 2], pa.int64()), "name": ["a", "b"]}
+            )
+            return flight.RecordBatchStream(t)
+        dict_arr = pa.array(["c", "d"]).dictionary_encode()
+        t = pa.table(
+            {"id": pa.array([3, 4], pa.int64()), "name": dict_arr}
+        )
+        return flight.RecordBatchStream(t)
+
+
+@pytest.fixture(scope="module")
+def variant_server():
+    s = VariantEncodingServer()
+    t = threading.Thread(target=s.serve, daemon=True)
+    t.start()
+    yield s
+    s.shutdown()
+
+
+def test_variant_endpoint_casts_to_declared_schema(spark, variant_server):
+    from datafusion_table_providers_spark.sources.flight_source import (
+        flight_reader_df,
+    )
+
+    df = flight_reader_df(
+        spark, f"grpc://127.0.0.1:{variant_server.port}", query="q"
+    )
+    rows = sorted((r["id"], r["name"]) for r in df.collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]

@@ -62,7 +62,7 @@ def test_flight_stream_delivers_all_rows(spark, cursor_server, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 90
+        deadline = time.time() + 240  # generous: flakes at 90s under full-suite load
         while time.time() < deadline:
             if spark.table("flight_rows").count() >= 250:
                 break

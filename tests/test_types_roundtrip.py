@@ -272,3 +272,116 @@ def test_duckdb_enum_dictionary_scan(spark, tmp_duckdb):
     assert df.schema["m"].dataType.typeName() == "string"
     got = {r["id"]: r["m"] for r in df.collect()}
     assert got == {1: "sad", 2: "happy", 3: None}
+
+
+def test_timestamp_tz_roundtrip(spark, tmp_duckdb):
+    """Timestamp WITH timezone (UTC session) — reference generator
+    get_arrow_timestamp_record_batch (arrow_record_batch_gen/mod.rs tz-aware
+    offset math, statement.rs:471-605)."""
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    rows = [
+        (dt.datetime(2024, 3, 10, 6, 30, 0, 500, tzinfo=dt.timezone.utc),),
+        (dt.datetime(1969, 12, 31, 23, 59, 59, tzinfo=dt.timezone.utc),),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    writer.insert_into(tmp_duckdb, "t_tstz", df)
+    got = tmp_duckdb.query_arrow('SELECT * FROM "t_tstz"').column("ts").to_pylist()
+    want = {r[0].replace(tzinfo=None) if r[0] else None for r in rows}
+    norm = {v.replace(tzinfo=None) if v is not None and v.tzinfo else v for v in got}
+    assert norm == want
+
+
+def test_null_column_roundtrip(spark, tmp_duckdb):
+    """All-null column (reference get_arrow_null_record_batch,
+    mod.rs:800) — NullType maps to nullable VARCHAR on the wire."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("n", T.StringType())]
+    )
+    rows = [(1, None), (2, None)]
+    roundtrip_duckdb(spark, tmp_duckdb, "t_null", schema, rows)
+
+
+def test_bytea_array_roundtrip(spark, tmp_duckdb):
+    """List-of-binary (reference get_arrow_bytea_array_record_batch)."""
+    schema = T.StructType([T.StructField("ba", T.ArrayType(T.BinaryType()))])
+    rows = [([bytearray(b"\x01"), bytearray(b"\xff\x00")],), ([],), (None,)]
+    df = spark.createDataFrame(rows, schema)
+    writer.insert_into(tmp_duckdb, "t_ba", df)
+    got = tmp_duckdb.query_arrow('SELECT * FROM "t_ba"').column("ba").to_pylist()
+    as_sets = sorted(
+        "NULL" if v is None else str([bytes(x) for x in v]) for v in got
+    )
+    assert as_sets == sorted(
+        ["NULL", str([]), str([b"\x01", b"\xff\x00"])]
+    )
+
+
+def test_sqlite_nested_as_json(spark, tmp_sqlite):
+    """SQLite has no composite types: nested columns are stored as JSON
+    text (reference statement.rs:82-104 nested→JSON lowering)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField(
+                "st",
+                T.StructType([T.StructField("a", T.LongType())]),
+            ),
+        ]
+    )
+    from datafusion_table_providers_spark.core.types import create_table_ddl
+
+    ddl = create_table_ddl("t_json", schema, "sqlite")
+    assert ddl.count("TEXT") == 2  # both nested columns lowered to JSON text
+
+
+def test_fixed_size_list_scan_mapping():
+    """FixedSizeList (reference get_arrow_list_of_fixed_size_lists) maps to
+    ArrayType on scan."""
+    import pyarrow as pa
+
+    from datafusion_table_providers_spark.core.types import arrow_to_spark_schema
+
+    schema = pa.schema(
+        [
+            pa.field("fsl", pa.list_(pa.float32(), 4)),
+            pa.field("lofsl", pa.list_(pa.list_(pa.int32(), 2))),
+        ]
+    )
+    s = arrow_to_spark_schema(schema)
+    assert s.fields[0].dataType.simpleString() == "array<float>"
+    assert s.fields[1].dataType.simpleString() == "array<array<int>>"
+
+
+def test_nested_types_through_connector_scan(spark, tmp_duckdb):
+    """list / struct / list-of-struct come back through the executor-side
+    connector (not just query_arrow) with faithful Spark types."""
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    tmp_duckdb.execute(
+        "CREATE TABLE deep AS SELECT 1 AS id, [1, 2, 3] AS arr, "
+        "{'a': 7, 'b': 'x'} AS st, [{'k': 1}, {'k': 2}] AS los"
+    )
+    tmp_duckdb.close()
+    df = duckdb_reader_df(spark, tmp_duckdb, "deep")
+    row = df.collect()[0]
+    assert row.arr == [1, 2, 3]
+    assert row.st.a == 7 and row.st.b == "x"
+    assert [x.k for x in row.los] == [1, 2]
+
+
+def test_map_through_connector_scan(spark, tmp_duckdb):
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    tmp_duckdb.execute(
+        "CREATE TABLE mt AS SELECT 1 AS id, MAP {'x': 1, 'y': 2} AS m"
+    )
+    tmp_duckdb.close()
+    df = duckdb_reader_df(spark, tmp_duckdb, "mt")
+    row = df.collect()[0]
+    assert dict(row.m) == {"x": 1, "y": 2}
