@@ -281,3 +281,46 @@ if HAS_PYMONGO:  # pragma: no cover
 
         def reader(self, schema) -> DataSourceReader:
             return MongoReader(schema, self.options)
+
+    _REGISTERED = set()
+
+    def register(spark) -> None:
+        if id(spark) not in _REGISTERED:
+            spark.dataSource.register(MongoDataSource)
+            _REGISTERED.add(id(spark))
+
+
+def mongo_reader_df(
+    spark,
+    uri: str,
+    database: str,
+    collection: str,
+    schema_projection=None,
+    sampling_size: int = 100,
+    limit: int = 0,
+):
+    """Live Mongo scan DataFrame with an optional declarative
+    SchemaProjection (reference crates/mongodb/src/projection.rs:1-40
+    applies the spec inside the provider; here the spec compiles to ONE
+    Catalyst ``select`` over the sampled-inference scan —
+    core/schema_projection.py — so reshaping costs one projection node, no
+    per-row Python)."""
+    if not HAS_PYMONGO:  # pragma: no cover - environment-dependent
+        raise ImportError("mongo_reader_df requires pymongo")
+    register(spark)
+    df = (
+        spark.read.format("mongodb_engine")
+        .option("uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+        .option("samplingSize", str(sampling_size))
+        .option("limit", str(limit))
+        .load()
+    )
+    if schema_projection is not None:
+        from datafusion_table_providers_spark.core.schema_projection import (
+            apply_projection,
+        )
+
+        df = apply_projection(df, schema_projection)
+    return df

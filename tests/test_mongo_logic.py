@@ -108,3 +108,54 @@ def test_flatten_depth_and_duplicates():
     assert flat["a.b.c"] == 1
     deep = flatten_document({"a": {"b": {"c": {"d": 2}}}}, max_depth=1)
     assert deep == {"a.b": {"c": {"d": 2}}}
+
+
+def test_mongo_reader_requires_pymongo_or_works():
+    """mongo_reader_df is the live scan entry with declarative
+    SchemaProjection applied as one Catalyst select (projection.rs analog).
+    Without pymongo it must fail loudly, not silently degrade."""
+    import importlib.util
+
+    from datafusion_table_providers_spark.sources import mongodb_source as m
+
+    if importlib.util.find_spec("pymongo") is None:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="pymongo"):
+            m.mongo_reader_df(None, "mongodb://x", "db", "coll")
+    else:  # pragma: no cover - gated on driver presence
+        assert callable(m.mongo_reader_df)
+
+
+def test_schema_projection_over_inferred_docs(spark):
+    """The live-reader reshaping path end-to-end minus the wire: documents →
+    inferred schema → DataFrame → SchemaProjection (flatten + catch-all)."""
+    from datafusion_table_providers_spark.core.schema_projection import (
+        SchemaProjection,
+        apply_projection,
+    )
+    from datafusion_table_providers_spark.sources.mongodb_source import (
+        infer_schema_from_documents,
+    )
+
+    docs = [
+        {"id": 1, "geo": {"lat": 1.5, "lon": 2.5}, "extra_a": "x"},
+        {"id": 2, "geo": {"lat": 3.5, "lon": 4.5}, "extra_b": 7},
+    ]
+    schema = infer_schema_from_documents(docs)
+    rows = [
+        (d.get("id"), (d["geo"]["lat"], d["geo"]["lon"]),
+         d.get("extra_a"), d.get("extra_b"))
+        for d in docs
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = apply_projection(
+        df,
+        SchemaProjection(flatten=("geo",), json_catch_all="rest", keep=("id",)),
+    )
+    assert out.columns == ["id", "geo.lat", "geo.lon", "rest"]
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["geo.lat"] == 1.5
+    import json as _json
+
+    assert _json.loads(got[1]["rest"])["extra_a"] == "x"

@@ -178,3 +178,39 @@ def test_auto_via_selects_spool_for_wide_inputs(spark, tmp_duckdb):
         tmp_duckdb.query_arrow('SELECT COUNT(*) AS n FROM "t2"')[0][0].as_py()
         == 51
     )
+
+
+def test_distributed_insert_foreachpartition(spark, tmp_path):
+    """Distributed sink: executor-side foreachPartition writers into a
+    partition-tagged staging table, driver-side single-transaction commit
+    (write.rs:558-710 staging discipline, fan-in off the driver)."""
+    import sqlite3
+
+    from datafusion_table_providers_spark.write.writer import distributed_insert
+
+    path = str(tmp_path / "dist.db")
+    df = spark.range(0, 1000, 1, 8).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS v", "CONCAT('r', id) AS name"
+    )
+    n = distributed_insert(
+        df,
+        "sink",
+        "sqlite3",
+        connect_args=[path],
+        connect_kwargs={"timeout": 60},
+        dialect_name="sqlite",
+        create=True,
+        primary_keys=["id"],
+    )
+    con = sqlite3.connect(path)
+    assert con.execute("SELECT COUNT(*) FROM sink").fetchone()[0] == 1000
+    assert con.execute(
+        "SELECT v, name FROM sink WHERE id = 7"
+    ).fetchone() == (14.0, "r7")
+    # staging cleaned up
+    leftovers = con.execute(
+        "SELECT name FROM sqlite_master WHERE name LIKE 'sink__stg%'"
+    ).fetchall()
+    assert leftovers == []
+    assert n in (1000, -1)
+    con.close()
