@@ -81,6 +81,13 @@ class DuckDBReader(DataSourceReader):
         # ``columns`` option (duckdb_reader_df / Engine.register_backend_table)
         # and the generated SELECT names exactly those — never ``*``.
         self.columns = json.loads(options.get("columns", "null"))
+        # Sort/limit pushdown (reference mod.rs:505-607): caller-directed,
+        # same explicit-option contract as columns. Inexact semantics — the
+        # limit bounds each PARTITION's fetch, and Spark's own TopK/limit
+        # above the scan remains the global truth (the reference keeps the
+        # local SortExec for the same reason, mod.rs:516-585).
+        self.order_by = json.loads(options.get("order_by", "null"))
+        self.limit = options.get("limit")
 
     def pushFilters(self, filters):
         """Exact/unsupported split (reference mod.rs:231-247): clauses we
@@ -102,7 +109,12 @@ class DuckDBReader(DataSourceReader):
         if partition is not None and getattr(partition, "clause", None):
             where.append(partition.clause)
         return build_select(
-            self.dialect, self.relation, columns=self.columns, where=where
+            self.dialect,
+            self.relation,
+            columns=self.columns,
+            where=where,
+            order_by=self.order_by or (),
+            limit=int(self.limit) if self.limit is not None else None,
         )
 
     def read(self, partition) -> Iterator[pa.RecordBatch]:
@@ -183,26 +195,51 @@ def register(spark: SparkSession) -> None:
         _REGISTERED.add(id(spark))
 
 
+def table_row_count(backend, relation: str) -> int:
+    """Row-count statistic for a backend relation (reference A15,
+    crates/flightsql/src/lib.rs:343-349 reports these to the optimizer).
+    The Python DS API has no stats hook, so the count feeds OUR planning —
+    auto-sizing partitioned scans (``num_partitions=None`` below)."""
+    tbl = backend.query_arrow(f"SELECT COUNT(*) AS n FROM {relation}")
+    return int(tbl[0][0].as_py())
+
+
+#: target rows per partition slice when auto-sizing a partitioned scan —
+#: small enough that a slice's Arrow transfer fits comfortably in one task,
+#: large enough that per-task connection setup amortizes
+AUTO_PARTITION_ROWS = 1_000_000
+
+
 def duckdb_reader_df(
     spark: SparkSession,
     backend,
     relation: str,
     partition_column: Optional[str] = None,
-    num_partitions: int = 1,
+    num_partitions: Optional[int] = 1,
     columns: Optional[List[str]] = None,
+    order_by: Optional[List[str]] = None,
+    limit: Optional[int] = None,
 ) -> DataFrame:
     """Build a connector DataFrame for a backend-managed relation.
 
     When ``partition_column`` is set, bounds are introspected once on the
     driver and the scan is split into ``num_partitions`` disjoint range
     slices executed in parallel on executors (JDBC-style partitioned read —
-    deliberately beyond the reference's UnknownPartitioning(1)).
+    deliberately beyond the reference's UnknownPartitioning(1)). Pass
+    ``num_partitions=None`` to size the split from the table's row-count
+    statistic (~1M rows per slice, capped at 64 — A15 feeding the planner).
 
     ``columns`` prunes the remote projection to exactly those columns
     (reference mod.rs:258-276) — pass every column the Spark plan touches,
     including filter-only columns; Spark prunes its own output afterwards
     but the wire transfer carries only what is listed. Without it the scan
-    fetches full-width rows, which Catalyst cannot fix post-transfer."""
+    fetches full-width rows, which Catalyst cannot fix post-transfer.
+
+    ``order_by``/``limit`` push a remote ORDER BY/LIMIT into each
+    partition's SQL (reference mod.rs:505-607). Inexact by design: with >1
+    partition the limit bounds each slice, so keep Spark's own
+    ``.orderBy().limit()`` above the scan as the global truth — exactly the
+    reference's kept-local-TopK discipline."""
     register(spark)
     opts = {
         "path": backend.path,
@@ -213,6 +250,15 @@ def duckdb_reader_df(
     }
     if columns:
         opts["columns"] = json.dumps(list(columns))
+    if order_by:
+        opts["order_by"] = json.dumps(list(order_by))
+    if limit is not None:
+        opts["limit"] = str(int(limit))
+    if partition_column and num_partitions is None:
+        rows = table_row_count(backend, relation)
+        num_partitions = max(1, min(64, rows // AUTO_PARTITION_ROWS + 1))
+        if backend.path != ":memory:":
+            backend.close()  # release the RW lock the count introspection took
     if backend.path == ":memory:" and not backend.parquet_tables:
         raise ValueError(
             "in-memory DuckDB tables are not visible to executor processes; "

@@ -279,3 +279,49 @@ def test_large_fragment_spools_off_driver(spark, tmp_path):
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "parquet" not in plan2.lower(), plan2
     assert df2.collect()[0].n == 500
+
+
+def test_sort_limit_pushdown_in_generated_sql(spark, tmp_path):
+    """A5/A6: caller-directed ORDER BY / LIMIT reach the generated SQL;
+    Spark's own TopK above the scan stays the global truth (Inexact
+    semantics, reference mod.rs:505-607)."""
+    import json
+
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        DuckDBReader,
+        duckdb_reader_df,
+    )
+
+    b = _filled_backend(spark, tmp_path)
+    reader = DuckDBReader(
+        None,
+        {
+            "path": b.path,
+            "relation": "t",
+            "columns": json.dumps(["id", "v"]),
+            "order_by": json.dumps(["v DESC"]),
+            "limit": "5",
+        },
+    )
+    assert reader.scan_sql() == 'SELECT "id", "v" FROM t ORDER BY v DESC LIMIT 5'
+
+    df = duckdb_reader_df(
+        spark, b, "t", columns=["id", "v"], order_by=["v DESC"], limit=5
+    ).orderBy(F.desc("v")).limit(5)
+    got = [r.id for r in df.collect()]
+    assert got == [99, 98, 97, 96, 95]
+
+
+def test_auto_partition_from_row_stats(spark, tmp_path):
+    """A15-adjacent: num_partitions=None sizes the split from the row-count
+    statistic (~1M rows/slice)."""
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+        table_row_count,
+    )
+
+    b = _filled_backend(spark, tmp_path)  # 100 rows -> 1 partition
+    assert table_row_count(b, "t") == 100
+    df = duckdb_reader_df(spark, b, "t", partition_column="id", num_partitions=None)
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 100
