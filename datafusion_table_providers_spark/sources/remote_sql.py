@@ -106,6 +106,16 @@ class RemoteSqlBackend:
             if self.password_provider is not None:
                 kwargs["password"] = self.password_provider()
             return "MySQLdb", [], kwargs
+        if self.kind == "clickhouse":
+            kwargs = {
+                "host": self.host,
+                "port": self.port,
+                "database": self.database,
+                "user": self.user,
+            }
+            if self.password_provider is not None:
+                kwargs["password"] = self.password_provider()
+            return "clickhouse_driver.dbapi", [], kwargs
         raise ValueError(f"no DB-API mapping for {self.kind}")
 
     def jdbc_options(

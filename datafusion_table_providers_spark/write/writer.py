@@ -316,6 +316,13 @@ def distributed_insert(
     dialect = DIALECTS[dialect_name]
     q = dialect.quote_ident
     cols = [f.name for f in df.schema.fields]
+    # constraint pre-validation, same discipline as insert_into (reference
+    # constraints.rs:28-123 — reject the batch BEFORE any row lands); the
+    # window-count check is a distributed Spark aggregate, so it scales with
+    # the input like the write itself
+    if primary_keys:
+        validate_not_null(df, primary_keys)
+        validate_unique(df, primary_keys)
     staging = f"{table}__stg_{uuid.uuid4().hex[:12]}"
 
     def _connect():

@@ -214,3 +214,25 @@ def test_distributed_insert_foreachpartition(spark, tmp_path):
     assert leftovers == []
     assert n in (1000, -1)
     con.close()
+
+
+def test_distributed_insert_validates_constraints(spark, tmp_path):
+    import pytest as _pytest
+
+    from datafusion_table_providers_spark.write.constraints import (
+        ConstraintViolation,
+    )
+    from datafusion_table_providers_spark.write.writer import distributed_insert
+
+    path = str(tmp_path / "distc.db")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "id long, name string")
+    with _pytest.raises(ConstraintViolation):
+        distributed_insert(
+            dup,
+            "sink",
+            "sqlite3",
+            connect_args=[path],
+            dialect_name="sqlite",
+            create=True,
+            primary_keys=["id"],
+        )
