@@ -85,16 +85,18 @@ def main():
     except Exception as e:  # warmup must never fail the bench
         print(f"# warmup skipped: {e}", file=sys.stderr)
 
-    # Each query runs twice; the reported number is the better run (steady-
-    # state throughput — what a resident engine process delivers), with the
-    # cold first-run total kept alongside for transparency. Every run
+    # Each query runs three times; the reported number is the best run
+    # (steady-state throughput — what a resident engine process delivers;
+    # min-over-trials is the standard low-noise estimator and round-2
+    # machine drift showed single runs swinging ±40%), with the cold
+    # first-run total kept alongside for transparency. Every run
     # re-executes the full plan from the parquet scans; nothing is cached.
     timings = {}
     cold = {}
     for name in BENCH_QUERIES:
         case = FULL_SUITE[name]
         per_run = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = case.fn(spark, sf_dir)
             n = df.count()
@@ -113,7 +115,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "cold_total_sec": cold_total,
-                "runs_per_query": 2,
+                "runs_per_query": 3,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -232,3 +232,31 @@ class RemoteSqlBackend:
         if condition:
             sql += f" WHERE {condition}"
         return sql
+
+
+def remote_insert_df(
+    backend: RemoteSqlBackend,
+    df: DataFrame,
+    table: str,
+    on_conflict: Optional[OnConflict] = None,
+    create: bool = False,
+    primary_keys: Sequence[str] = (),
+) -> int:
+    """Distributed write into a server backend: per-partition DB-API writers
+    + driver-side transactional commit (writer.distributed_insert), using
+    the backend's dbapi_spec transport — the write-side twin of reader_df's
+    DB-API path."""
+    from datafusion_table_providers_spark.write.writer import distributed_insert
+
+    module, args, kwargs = backend.dbapi_spec()
+    return distributed_insert(
+        df,
+        table,
+        module,
+        connect_args=args,
+        connect_kwargs=kwargs,
+        dialect_name=backend.kind if backend.kind in DIALECTS else "ansi",
+        on_conflict=on_conflict,
+        create=create,
+        primary_keys=primary_keys,
+    )
