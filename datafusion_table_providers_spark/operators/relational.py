@@ -824,6 +824,11 @@ b18d_setops, B18D_SQL = _merged(
     ("b18b", b18b_intersect, B18B_SQL),
     ("b18c", b18c_except, B18C_SQL),
 )
+b19c_scalar_funcs, B19C_SQL = _merged(
+    ("b19", b19_string_funcs, B19_SQL),
+    ("b20", b20_date_funcs, B20_SQL),
+    ("b21", b21_math_funcs, B21_SQL),
+)
 b23c_grouping_sets, B23C_SQL = _merged(
     ("b23", b23_rollup, B23_SQL),
     ("b23b", b23b_cube, B23B_SQL),
@@ -832,6 +837,10 @@ b24d_nested, B24D_SQL = _merged(
     ("b24", b24_json, B24_SQL),
     ("b24b", b24b_explode, B24B_SQL),
     ("b24c", b24c_array_scalars, B24C_SQL),
+)
+b26b_event_ops, B26B_SQL = _merged(
+    ("b26", b26_event_window, B26_SQL),
+    ("b27", b27_sessionize, B27_SQL),
 )
 
 
@@ -877,6 +886,8 @@ SUITE = {
     "b14b_windows": QueryCase(b14b_windows, B14B_SQL, "B14 ranking + B15 frame windows"),
     "b16b_sort_topk": QueryCase(b16b_sort_topk, B16B_SQL, "B16 NULLS sort + B17 Top-K"),
     "b18d_setops": QueryCase(b18d_setops, B18D_SQL, "B18 UNION/INTERSECT/EXCEPT"),
+    "b19c_scalar_funcs": QueryCase(b19c_scalar_funcs, B19C_SQL, "B19 string + B20 date + B21 math functions"),
     "b23c_grouping_sets": QueryCase(b23c_grouping_sets, B23C_SQL, "B23 ROLLUP + CUBE"),
     "b24d_nested": QueryCase(b24d_nested, B24D_SQL, "B24 JSON + explode + array scalars"),
+    "b26b_event_ops": QueryCase(b26b_event_ops, B26B_SQL, "event-time window + sessionization"),
 }

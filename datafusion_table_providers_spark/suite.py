@@ -39,6 +39,7 @@ for _mod, _attr in [
     ("datafusion_table_providers_spark.llm.dedup", "SUITE"),
     ("datafusion_table_providers_spark.llm.similarity", "SUITE"),
     ("datafusion_table_providers_spark.llm.text", "SUITE"),
+    ("datafusion_table_providers_spark.llm.curation", "SUITE"),
     ("datafusion_table_providers_spark.llm.multimodal", "SUITE"),
     ("datafusion_table_providers_spark.llm.pipeline", "SUITE"),
     ("datafusion_table_providers_spark.sources.suite", "SUITE"),
@@ -75,6 +76,10 @@ PRIORITY_WINDOW = [
     "d08_quality",
     "d09_token_count",
     "d10_fingerprint",
+    # curation: decontamination / sampling / packing — 3
+    "d13_decontaminate",
+    "d14_stratified_sample",
+    "d15_sequence_packing",
     # multimodal + composed pipeline — 3
     "m01_multimodal_meta",
     "m02_frame_sample",
@@ -85,7 +90,7 @@ PRIORITY_WINDOW = [
     "e03_percentiles",
     "e04_stats",
     "e06_histogram",
-    # relational surface B1–B24 (+ streaming shapes) — 22
+    # relational surface B1–B24 (+ streaming shapes) — 19
     "b01_scan_projection",
     "b02b_filters_all",
     "b04_case_arith_cast",
@@ -100,14 +105,11 @@ PRIORITY_WINDOW = [
     "b14b_windows",
     "b16b_sort_topk",
     "b18d_setops",
-    "b19_string_funcs",
-    "b20_date_funcs",
-    "b21_math_funcs",
+    "b19c_scalar_funcs",
     "b22_agg_minmax",
     "b23c_grouping_sets",
     "b24d_nested",
-    "b26_event_window",
-    "b27_sessionize",
+    "b26b_event_ops",
 ]
 
 

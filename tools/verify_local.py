@@ -64,9 +64,22 @@ def main():
     filters = sys.argv[2:]
 
     import __spark_entry__ as entrymod
-    from datafusion_table_providers_spark.session import get_spark
 
-    spark = get_spark("verify_local")
+    if os.environ.get("VERIFY_VANILLA", "") == "1":
+        # Mimic the driver: a bare session with NO engine tuning applied up
+        # front — every queries() entry must self-provision its confs
+        # (core.case.utc) or this run exposes the gap before the driver does.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("verify_vanilla")
+            .getOrCreate()
+        )
+    else:
+        from datafusion_table_providers_spark.session import get_spark
+
+        spark = get_spark("verify_local")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
