@@ -304,6 +304,80 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- e08: sketch aggregates with bounded-error certification --------------
+# HLL distinct-count and quantile sketches are the approximate-query
+# workhorses at 100 TB (exact distinct = full shuffle of the key universe;
+# a sketch is constant memory + one map-side pass). Raw sketch estimates are
+# engine-specific (Spark HLL++ vs DuckDB HLL; t-digest vs GK), so the
+# cross-engine contract certifies the ERROR BOUND, not the estimate: each
+# engine checks its own sketch against its own exact value and emits the
+# boolean verdict + the exact integers. Bounds are generous (10% HLL, 2%·n
+# quantile rank error) so the check is deterministic, not flaky.
+def e08_sketch_bounds(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    stats = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id").alias("hll"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50a"),
+        F.count("*").alias("n"),
+    )
+    ranks = (
+        e.join(F.broadcast(stats.select("event_type", "p50a")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("p50a"), 1).otherwise(0)
+            ).alias("rank50")
+        )
+    )
+    return stats.join(ranks, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "n",
+        (
+            F.abs(F.col("hll") - F.col("exact_distinct"))
+            <= 0.1 * F.col("exact_distinct")
+        ).alias("hll_ok"),
+        (F.abs(F.col("rank50") - F.col("n") / 2.0) <= 0.02 * F.col("n")).alias(
+            "p50_ok"
+        ),
+    )
+
+
+E08_SQL = """
+WITH stats AS (
+  SELECT event_type,
+         COUNT(DISTINCT user_id) AS exact_distinct,
+         approx_count_distinct(user_id) AS hll,
+         approx_quantile(value, 0.5) AS p50a,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type
+),
+ranks AS (
+  SELECT e.event_type,
+         SUM(CASE WHEN e.value <= s.p50a THEN 1 ELSE 0 END) AS rank50
+  FROM events e JOIN stats s USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT event_type, exact_distinct, n,
+       ABS(hll - exact_distinct) <= 0.1 * exact_distinct AS hll_ok,
+       ABS(rank50 - n / 2.0) <= 0.02 * n AS p50_ok
+FROM stats JOIN ranks USING (event_type)
+"""
+
+
+from datafusion_table_providers_spark.operators.relational import _merged
+
+# merged capability-coverage entries (window discipline — see suite.py)
+e01b_interval_joins, E01B_SQL = _merged(
+    ("e01", e01_asof_join, E01_SQL),
+    ("e02", e02_range_join, E02_SQL),
+)
+e03b_distributions, E03B_SQL = _merged(
+    ("e03", e03_percentiles, E03_SQL),
+    ("e06", e06_histogram, E06_SQL),
+)
+
 SUITE = {
     "e01_asof_join": QueryCase(e01_asof_join, E01_SQL, "as-of join via window"),
     "e07_salted_agg": QueryCase(
@@ -313,4 +387,13 @@ SUITE = {
     "e03_percentiles": QueryCase(e03_percentiles, E03_SQL, "continuous percentiles"),
     "e04_stats": QueryCase(e04_stats, E04_SQL, "stddev/var/corr/covar/count_if"),
     "e06_histogram": QueryCase(e06_histogram, E06_SQL, "histogram binning"),
+    "e08_sketch_bounds": QueryCase(
+        e08_sketch_bounds, E08_SQL, "HLL/quantile sketches, certified error"
+    ),
+    "e01b_interval_joins": QueryCase(
+        e01b_interval_joins, E01B_SQL, "as-of + bucketed range joins"
+    ),
+    "e03b_distributions": QueryCase(
+        e03b_distributions, E03B_SQL, "percentiles + histogram binning"
+    ),
 }

@@ -84,12 +84,13 @@ PRIORITY_WINDOW = [
     "m01_multimodal_meta",
     "m02_frame_sample",
     "p01_training_data_prep",
-    # extension operators — 5
-    "e01_asof_join",
-    "e02_range_join",
-    "e03_percentiles",
+    # extension operators — 5 entries / 7 ops (e01+e02, e03+e06 merged)
+    "e01b_interval_joins",
+    "e03b_distributions",
     "e04_stats",
-    "e06_histogram",
+    "e08_sketch_bounds",
+    # embedding quantization (vector compression) — 1
+    "d16_embedding_quantize",
     # relational surface B1–B24 (+ streaming shapes) — 19
     "b01_scan_projection",
     "b02b_filters_all",
