@@ -131,11 +131,120 @@ WHERE doc_id < 50
 """
 
 
+# --- m03: resize (1:1 payload transform, bytes out smaller) ---------------
+RESIZE_SCHEMA = "doc_id long, out_bytes int, out_hash string"
+
+
+def m03_resize(spark, sf_dir):
+    """Resize shape: payload in → transformed (smaller) payload out, 1:1.
+    The fake 'resampler' keeps the first half of the bytes; a real image
+    resize (PIL thumbnail) drops into the same mapInPandas slot with the
+    same schema contract."""
+    import pandas as pd  # noqa: F401 — executor-side import
+
+    d = _t(spark, sf_dir, "documents")
+    wp = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def resize(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                half = bytes(payload[: (len(payload) + 1) // 2])
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "out_bytes": len(half),
+                        "out_hash": hashlib.md5(half).hexdigest()[:8],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return wp.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+M03_SQL = """
+SELECT doc_id,
+       CAST((LENGTH(text) + 1) // 2 AS INTEGER) AS out_bytes,
+       SUBSTR(md5(SUBSTR(text, 1, (LENGTH(text) + 1) // 2)), 1, 8) AS out_hash
+FROM documents
+"""
+
+
+# --- m04: feature extraction (binary → fixed-size vector) -----------------
+FEAT_SCHEMA = "doc_id long, feat array<int>, feat_l1 int"
+
+
+def m04_features(spark, sf_dir):
+    """Feature-extract shape: payload in → fixed-width vector out. The fake
+    extractor counts byte classes (space/'a'/'e'/total) — a real extractor
+    (CLIP image encoder, mel spectrogram) replaces the inner function; the
+    array column contract and Arrow batching stay identical."""
+    d = _t(spark, sf_dir, "documents")
+    wp = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                feat = [b.count(b" "), b.count(b"a"), b.count(b"e"), len(b)]
+                out.append(
+                    {"doc_id": doc_id, "feat": feat, "feat_l1": sum(feat)}
+                )
+            yield pd.DataFrame(out)
+
+    return wp.mapInPandas(extract, FEAT_SCHEMA)
+
+
+M04_SQL = """
+SELECT doc_id,
+       [CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INTEGER),
+        CAST(LENGTH(text) - LENGTH(REPLACE(text, 'a', '')) AS INTEGER),
+        CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', '')) AS INTEGER),
+        CAST(LENGTH(text) AS INTEGER)] AS feat,
+       CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+          + (LENGTH(text) - LENGTH(REPLACE(text, 'a', '')))
+          + (LENGTH(text) - LENGTH(REPLACE(text, 'e', '')))
+          + LENGTH(text) AS INTEGER) AS feat_l1
+FROM documents
+"""
+
+
+from datafusion_table_providers_spark.operators.relational import _merged
+
+# merged window entries: 2 driver rows certify all 4 multimodal shapes
+m01b_meta_frames, M01B_SQL = _merged(
+    ("m01", m01_multimodal_meta, M01_SQL),
+    ("m02", m02_frame_sample, M02_SQL),
+)
+m03b_resize_features, M03B_SQL = _merged(
+    ("m03", m03_resize, M03_SQL),
+    ("m04", m04_features, M04_SQL),
+)
+
 SUITE = {
     "m01_multimodal_meta": QueryCase(
         m01_multimodal_meta, M01_SQL, "binary metadata via mapInPandas"
     ),
     "m02_frame_sample": QueryCase(
         m02_frame_sample, M02_SQL, "1:N frame sampling via mapInPandas"
+    ),
+    "m03_resize": QueryCase(
+        m03_resize, M03_SQL, "1:1 payload resize via mapInPandas"
+    ),
+    "m04_features": QueryCase(
+        m04_features, M04_SQL, "binary → fixed-width feature vector"
+    ),
+    "m01b_meta_frames": QueryCase(
+        m01b_meta_frames, M01B_SQL, "metadata + frame sampling (merged)"
+    ),
+    "m03b_resize_features": QueryCase(
+        m03b_resize_features, M03B_SQL, "resize + feature extraction (merged)"
     ),
 }

@@ -80,9 +80,9 @@ PRIORITY_WINDOW = [
     "d13_decontaminate",
     "d14_stratified_sample",
     "d15_sequence_packing",
-    # multimodal + composed pipeline — 3
-    "m01_multimodal_meta",
-    "m02_frame_sample",
+    # multimodal (meta/frames/resize/features in 2 merged rows) + pipeline — 3
+    "m01b_meta_frames",
+    "m03b_resize_features",
     "p01_training_data_prep",
     # extension operators — 5 entries / 7 ops (e01+e02, e03+e06 merged)
     "e01b_interval_joins",
