@@ -75,10 +75,191 @@ FROM final GROUP BY lang
 """
 
 
+def p02_full_curation(spark, sf_dir):
+    """The complete curation flow as one DAG: quality gate → exact dedup →
+    near-dup removal → eval-set exclusion + decontamination → deterministic
+    stratified sampling → sequence packing → per-source packing report.
+
+    Every stage is the already-certified primitive (p01 front half, d13/d14/
+    d15 back half) chained without materialization: Catalyst sees one plan,
+    each stage is at most one shuffle, and the only driver-visible data is
+    the final per-source report."""
+    from datafusion_table_providers_spark.llm.curation import (
+        DECON_MOD,
+        DECON_N,
+        PACK_BUDGET,
+        SAMPLE_DEFAULT,
+        SAMPLE_RATES,
+    )
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    filtered = base.filter(F.col("n_tokens") >= MIN_TOKENS)
+    keep_exact = filtered.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = filtered.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
+    comp = d12_dedup_components(spark, sf_dir)
+    dropme = comp.filter(F.col("component_id") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    deduped = kept.join(dropme, "doc_id", "left_anti")
+
+    # decontamination: exclude the eval split itself, then drop any training
+    # doc sharing a DECON_N-gram with it (eval grams broadcast, as in d13)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    idx = F.when(
+        n >= DECON_N, F.sequence(F.lit(1), n - (DECON_N - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams_all = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(DECON_N)]
+                ),
+            )
+        ).alias("gram"),
+    )
+    eval_grams = (
+        grams_all.where(F.col("doc_id") % DECON_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    train = deduped.where(F.col("doc_id") % DECON_MOD != 0)
+    contaminated = (
+        grams_all.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+
+    # deterministic stratified sample (d14 thresholds)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = None
+    for lang, hexthr in sorted(SAMPLE_RATES.items()):
+        cond = F.col("lang") == lang
+        thr = F.when(cond, hexthr) if thr is None else thr.when(cond, hexthr)
+    sampled = clean.where(bucket < thr.otherwise(SAMPLE_DEFAULT))
+
+    # sequence packing (d15) and the per-source report
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = sampled.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET
+        ).alias("bin_id"),
+    )
+    return binned.groupBy("source").agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def _p02_sql() -> str:
+    from datafusion_table_providers_spark.llm.curation import (
+        DECON_MOD,
+        DECON_N,
+        PACK_BUDGET,
+        SAMPLE_DEFAULT,
+        SAMPLE_RATES,
+    )
+
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN '{thr}'"
+        for lang, thr in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, source, text,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+),
+filtered AS (SELECT * FROM base WHERE n_tokens >= {MIN_TOKENS}),
+keep_exact AS (
+  SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY md5(text)
+),
+kept AS (
+  SELECT f.* FROM filtered f
+  WHERE f.doc_id IN (SELECT doc_id FROM keep_exact)
+),
+comp AS (SELECT * FROM ({_d12_sql()})),
+dropme AS (SELECT doc_id FROM comp WHERE component_id <> doc_id),
+deduped AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropme)
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram
+  FROM toks, UNNEST(range(1, len(t) - {DECON_N - 2})) AS r(i)
+  WHERE len(t) >= {DECON_N}
+),
+eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_MOD} = 0
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE gram IN (SELECT gram FROM eval_grams)
+),
+clean AS (
+  SELECT * FROM deduped
+  WHERE doc_id % {DECON_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+sampled AS (
+  SELECT * FROM clean
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        < CASE {cases} ELSE '{SAMPLE_DEFAULT}' END
+),
+binned AS (
+  SELECT source, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+  FROM sampled
+)
+SELECT source, COUNT(DISTINCT bin_id) AS n_bins, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM binned GROUP BY source
+"""
+
+
+from datafusion_table_providers_spark.operators.relational import _merged
+
+p01b_pipelines, P01B_SQL = _merged(
+    ("p01", p01_training_data_prep, _p01_sql()),
+    ("p02", p02_full_curation, _p02_sql()),
+)
+
 SUITE = {
     "p01_training_data_prep": QueryCase(
         p01_training_data_prep,
         _p01_sql(),
         "composed corpus-prep pipeline (quality → dedup → near-dedup)",
+    ),
+    "p01b_pipelines": QueryCase(
+        p01b_pipelines, P01B_SQL, "both composed pipelines (merged)"
+    ),
+    "p02_full_curation": QueryCase(
+        p02_full_curation,
+        _p02_sql(),
+        "full curation capstone (quality → dedup → decontaminate → sample → pack)",
     ),
 }

@@ -83,7 +83,7 @@ PRIORITY_WINDOW = [
     # multimodal (meta/frames/resize/features in 2 merged rows) + pipeline — 3
     "m01b_meta_frames",
     "m03b_resize_features",
-    "p01_training_data_prep",
+    "p01b_pipelines",
     # extension operators — 5 entries / 7 ops (e01+e02, e03+e06 merged)
     "e01b_interval_joins",
     "e03b_distributions",
