@@ -366,6 +366,44 @@ FROM stats JOIN ranks USING (event_type)
 """
 
 
+# --- e09: rollup cascade (continuous-aggregate / hypertable pattern) ------
+# The time-series scale pattern: fine-grained partial aggregates (hourly)
+# are materialized once, and every coarser resolution (daily, …) reduces
+# the PARTIALS, never the raw events — at 100 TB the daily rollup reads
+# n_hours rows per key instead of n_events. Values are integer cents
+# (floor(v*100+0.5), spelled identically on both engines), so every level
+# of the cascade is exact integer arithmetic — no float re-accumulation
+# drift between levels or engines.
+def e09_rollup_cascade(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), F.sum(cents).alias("cents"))
+    return hourly.groupBy(
+        F.date_trunc("day", "h").alias("d"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+        F.count("*").alias("n_hours"),
+    )
+
+
+E09_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         COUNT(*) AS n,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS d, event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents,
+       COUNT(*) AS n_hours
+FROM hourly GROUP BY 1, 2
+"""
+
+
 from datafusion_table_providers_spark.operators.relational import _merged
 
 # merged capability-coverage entries (window discipline — see suite.py)
@@ -376,6 +414,7 @@ e01b_interval_joins, E01B_SQL = _merged(
 e03b_distributions, E03B_SQL = _merged(
     ("e03", e03_percentiles, E03_SQL),
     ("e06", e06_histogram, E06_SQL),
+    ("e09", e09_rollup_cascade, E09_SQL),
 )
 
 SUITE = {
@@ -390,10 +429,15 @@ SUITE = {
     "e08_sketch_bounds": QueryCase(
         e08_sketch_bounds, E08_SQL, "HLL/quantile sketches, certified error"
     ),
+    "e09_rollup_cascade": QueryCase(
+        e09_rollup_cascade, E09_SQL, "continuous-aggregate rollup cascade"
+    ),
     "e01b_interval_joins": QueryCase(
         e01b_interval_joins, E01B_SQL, "as-of + bucketed range joins"
     ),
     "e03b_distributions": QueryCase(
-        e03b_distributions, E03B_SQL, "percentiles + histogram binning"
+        e03b_distributions,
+        E03B_SQL,
+        "percentiles + histogram + rollup cascade",
     ),
 }
