@@ -290,6 +290,49 @@ def c08_duckdb_overwrite(spark, sf_dir):
 C08_SQL = "SELECT r_regionkey, 'NEW_' || r_name AS r_name FROM region"
 
 
+# --- C9: generic DB-API 2.0 transport scan (A2/A3/A4 over any driver) -----
+def c09_dbapi_scan(spark, sf_dir):
+    """Certifies the executor-side DB-API transport end-to-end: write the
+    part table into SQLite, scan it back through ``dbapi_reader_df`` (stdlib
+    sqlite3 — the same code path pyodbc / ADBC / psycopg drivers take) with
+    pruned columns and a pushed filter. Reference analog: the live-backend
+    scans in crates/postgres/src/lib.rs + crates/odbc/src/conn.rs."""
+    utc(spark)
+    from datafusion_table_providers_spark.sources.dbapi_source import (
+        dbapi_reader_df,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"engine_dbapi_{_tag(sf_dir)}.db"
+    )
+    if os.path.exists(path):
+        os.remove(path)
+    backend = SQLiteBackend(path)
+    part = spark.read.parquet(_pq(sf_dir, "part"))
+    writer.insert_into(
+        backend, "part_copy", part, mode="append", primary_keys=["p_partkey"]
+    )
+    df = dbapi_reader_df(
+        spark,
+        "sqlite3",
+        "part_copy",
+        connect_args=[path],
+        dialect="sqlite",
+        columns=["p_partkey", "p_brand", "p_size", "p_retailprice"],
+        schema_ddl=(
+            "p_partkey BIGINT, p_brand STRING, p_size BIGINT, "
+            "p_retailprice DOUBLE"
+        ),
+    )
+    return df.filter(F.col("p_size") > 40)
+
+
+C09_SQL = """
+SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size, p_retailprice
+FROM part WHERE p_size > 40
+"""
+
+
 SUITE = {
     "c01_duckdb_scan_pushdown": QueryCase(
         c01_duckdb_scan_pushdown, C01_SQL, "A1-A5 DuckDB scan + filter pushdown"
@@ -313,4 +356,17 @@ SUITE = {
     "c08_duckdb_overwrite": QueryCase(
         c08_duckdb_overwrite, C08_SQL, "A17 atomic INSERT overwrite"
     ),
+    "c09_dbapi_scan": QueryCase(
+        c09_dbapi_scan, C09_SQL, "generic DB-API transport scan (pruned+pushed)"
+    ),
 }
+
+from datafusion_table_providers_spark.operators.relational import _merged
+
+c05b_upsert_dml, C05B_SQL = _merged(
+    ("c05", c05_duckdb_upsert, C05_SQL),
+    ("c06", c06_duckdb_dml, C06_SQL),
+)
+SUITE["c05b_upsert_dml"] = QueryCase(
+    c05b_upsert_dml, C05B_SQL, "A18 upsert + A19/A20 DELETE/UPDATE (merged)"
+)

@@ -57,10 +57,10 @@ PRIORITY_WINDOW = [
     "c02_duckdb_partitioned_scan",
     "c03_federation_pushdown",
     "c04_duckdb_write_roundtrip",
-    "c05_duckdb_upsert",
-    "c06_duckdb_dml",
+    "c05b_upsert_dml",
     "c07_sqlite_roundtrip",
     "c08_duckdb_overwrite",
+    "c09_dbapi_scan",
     # dedup — one per method + components — 6
     "d01_exact_dedup",
     "d02b_minhash_lsh_pairs",
