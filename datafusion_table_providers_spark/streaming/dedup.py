@@ -48,3 +48,53 @@ def dedup_against_history(
     return hashed.join(history_hashes, on="text_hash", how="left_anti").drop(
         "text_hash"
     )
+
+
+def decontaminate_batch(
+    batch: DataFrame,
+    eval_grams: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Drop documents sharing a word ``n``-gram with a static held-out eval
+    set (column ``gram``) — the d13 discipline as a reusable stage.
+
+    The contaminated-id set derives from the input itself, which in a
+    stream would be a (unsupported) stream-stream anti-join — so the
+    streaming form applies this per microbatch via ``foreachBatch`` (see
+    ``decontaminate_foreach_batch``), where each batch is a bounded
+    DataFrame and the eval side broadcasts. Decontamination is per-document
+    (no cross-batch state), so microbatch application is semantically
+    identical to the batch operator."""
+    toks = F.split(F.col(text_col), " ")
+    sz = F.size(toks)
+    idx = F.when(sz >= n, F.sequence(F.lit(1), sz - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = batch.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
+        ).alias("gram"),
+    )
+    contaminated = (
+        grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return batch.join(contaminated, "doc_id", "left_anti")
+
+
+def decontaminate_foreach_batch(eval_grams: DataFrame, sink_fn, **kw):
+    """Build a ``foreachBatch`` callable: each microbatch is decontaminated
+    against the static eval-gram table, then handed to ``sink_fn(df)``."""
+
+    def apply(batch: DataFrame, _epoch_id: int) -> None:
+        sink_fn(decontaminate_batch(batch, eval_grams, **kw))
+
+    return apply

@@ -86,3 +86,47 @@ def test_dedup_against_history(spark):
     # static-on-static exercises the same plan as stream-static
     out = dedup_against_history(batch, history)
     assert sorted(r["doc_id"] for r in out.collect()) == list(range(10, 20))
+
+
+def test_decontaminate_stream_foreach_batch(spark, tmp_path):
+    """Drive decontamination through a REAL file stream via foreachBatch and
+    check the union of cleaned microbatches equals the batch operator's
+    output on the same data."""
+    from datafusion_table_providers_spark.streaming.dedup import (
+        decontaminate_batch,
+        decontaminate_foreach_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "alpha beta gamma delta other"),  # shares 4-gram with eval
+            (4, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_grams = spark.createDataFrame(
+        [("alpha beta gamma delta",)], "gram string"
+    )
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    docs.repartition(2).write.parquet(str(src_dir / "b0"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src_dir / "*"))
+
+    got = []
+    sink = decontaminate_foreach_batch(
+        eval_grams, lambda df: got.extend(r.doc_id for r in df.collect())
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = sorted(
+        r.doc_id for r in decontaminate_batch(docs, eval_grams).collect()
+    )
+    assert sorted(got) == want == [2, 4]
