@@ -62,6 +62,11 @@ def rows_key(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     filters = sys.argv[2:]
+    if filters == ["--window"]:
+        # exactly the 50 entries the driver's correctness gate will check
+        from datafusion_table_providers_spark.suite import PRIORITY_WINDOW
+
+        filters = list(PRIORITY_WINDOW)
 
     import __spark_entry__ as entrymod
 
