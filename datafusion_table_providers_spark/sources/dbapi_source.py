@@ -88,6 +88,14 @@ def _infer_spark_type(sample) -> T.DataType:
     return T.StringType()
 
 
+class _Slice(InputPartition):
+    """A range-partition slice: one disjoint WHERE fragment per task."""
+
+    def __init__(self, idx: int, clause: Optional[str]):
+        super().__init__(idx)
+        self.clause = clause
+
+
 class DBAPIReader(DataSourceReader):
     def __init__(self, schema, options):
         self.spark_schema = schema
@@ -97,6 +105,9 @@ class DBAPIReader(DataSourceReader):
         self.where: List[str] = []
         self.columns = json.loads(options.get("columns", "null"))
         self.batch_size = int(options.get("batch_size", "16384"))
+        self._partition_clauses = json.loads(
+            options.get("partition_clauses", "[]")
+        )
 
     def pushFilters(self, filters):
         # conservative ANSI dialect by default: only filters whose rendering
@@ -106,18 +117,25 @@ class DBAPIReader(DataSourceReader):
         return iter(unsupported)
 
     def partitions(self):
-        return [InputPartition(0)]
+        if self._partition_clauses:
+            return [
+                _Slice(i, c) for i, c in enumerate(self._partition_clauses)
+            ]
+        return [_Slice(0, None)]
 
-    def scan_sql(self) -> str:
+    def scan_sql(self, partition=None) -> str:
+        where = list(self.where)
+        if partition is not None and getattr(partition, "clause", None):
+            where.append(partition.clause)
         return build_select(
-            self.dialect, self.relation, columns=self.columns, where=self.where
+            self.dialect, self.relation, columns=self.columns, where=where
         )
 
     def read(self, partition) -> Iterator[pa.RecordBatch]:
         con = _connect(self.options)
         try:
             cur = con.cursor()
-            cur.execute(self.scan_sql())
+            cur.execute(self.scan_sql(partition))
             target = pa.schema(
                 [
                     pa.field(f.name, _spark_to_arrow(f.dataType), f.nullable)
@@ -235,7 +253,14 @@ def dbapi_reader_df(
     dialect: str = "odbc",
     columns: Optional[List[str]] = None,
     schema_ddl: Optional[str] = None,
+    partition_column: Optional[str] = None,
+    num_partitions: int = 1,
 ) -> DataFrame:
+    """When ``partition_column`` (numeric) is set with ``num_partitions>1``,
+    MIN/MAX bounds are introspected once driver-side over the same DB-API
+    connection and the scan splits into disjoint range slices, each executed
+    by its own executor task with its own server connection — the JDBC-style
+    parallel read, same discipline as ``duckdb_reader_df``."""
     register(spark)
     r = (
         spark.read.format("dbapi_engine")
@@ -250,4 +275,35 @@ def dbapi_reader_df(
     if schema_ddl:
         struct = T._parse_datatype_string(schema_ddl)  # driver-side: session up
         r = r.option("schema_json", json.dumps(struct.jsonValue()))
+    if partition_column and num_partitions > 1:
+        d = DIALECTS[dialect]
+        q = d.quote_ident(partition_column)
+        con = _connect(
+            {
+                "module": module,
+                "connect_args": json.dumps(connect_args or []),
+                "connect_kwargs": json.dumps(connect_kwargs or {}),
+            }
+        )
+        try:
+            cur = con.cursor()
+            cur.execute(f"SELECT MIN({q}), MAX({q}) FROM {relation}")
+            lo, hi = cur.fetchone()
+        finally:
+            con.close()
+        clauses = []
+        if lo is not None and hi is not None and hi > lo:
+            step = (hi - lo) / num_partitions
+            edges = [lo + step * i for i in range(1, num_partitions)]
+            prev = None
+            for e in edges + [None]:
+                c = []
+                if prev is not None:
+                    c.append(f"{q} >= {prev}")
+                if e is not None:
+                    c.append(f"{q} < {e}")
+                clauses.append(" AND ".join(c) if c else "TRUE")
+                prev = e
+        if clauses:
+            r = r.option("partition_clauses", json.dumps(clauses))
     return r.load()
