@@ -295,8 +295,9 @@ def c09_dbapi_scan(spark, sf_dir):
     """Certifies the executor-side DB-API transport end-to-end: write the
     part table into SQLite, scan it back through ``dbapi_reader_df`` (stdlib
     sqlite3 — the same code path pyodbc / ADBC / psycopg drivers take) with
-    pruned columns and a pushed filter. Reference analog: the live-backend
-    scans in crates/postgres/src/lib.rs + crates/odbc/src/conn.rs."""
+    pruned columns, a pushed filter, and a 4-way range-partitioned parallel
+    read. Reference analog: the live-backend scans in
+    crates/postgres/src/lib.rs + crates/odbc/src/conn.rs."""
     utc(spark)
     from datafusion_table_providers_spark.sources.dbapi_source import (
         dbapi_reader_df,
@@ -323,6 +324,8 @@ def c09_dbapi_scan(spark, sf_dir):
             "p_partkey BIGINT, p_brand STRING, p_size BIGINT, "
             "p_retailprice DOUBLE"
         ),
+        partition_column="p_partkey",
+        num_partitions=4,
     )
     return df.filter(F.col("p_size") > 40)
 
