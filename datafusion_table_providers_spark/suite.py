@@ -68,9 +68,9 @@ PRIORITY_WINDOW = [
     "d04_ngram_jaccard",
     "d11b_neardup_multiprobe",
     "d12_dedup_components",
-    # similarity search — 2
-    "d05_knn_bruteforce",
-    "d06_lsh_ann",
+    # similarity search + clustering — 2
+    "d05b_knn_lsh",
+    "d17_kmeans_clusters",
     # text analysis — 4
     "d07_langid",
     "d08_quality",
