@@ -53,3 +53,22 @@ def test_sketch_broadcast_scalars(spark):
     assert "BroadcastHashJoin" in plan, (
         "per-group sketch scalars must broadcast back, never shuffle-join"
     )
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    from datafusion_table_providers_spark.llm.similarity import (
+        KM_K,
+        d17_kmeans_clusters,
+    )
+    from datafusion_table_providers_spark.operators.relational import _t
+
+    rows = d17_kmeans_clusters(spark, SF).collect()
+    n_vecs = _t(spark, SF, "embeddings").count()
+    assert len(rows) <= KM_K
+    assert sum(r.n_members for r in rows) == n_vecs, (
+        "every vector must land in exactly one cluster"
+    )
+    again = d17_kmeans_clusters(spark, SF).collect()
+    assert sorted((r.cid, r.n_members, r.min_vec) for r in rows) == sorted(
+        (r.cid, r.n_members, r.min_vec) for r in again
+    ), "clustering must be run-to-run deterministic"
