@@ -258,6 +258,128 @@ FROM fps GROUP BY doc_id
 """
 
 
+# --- d19: repetition / n-gram-diversity quality signals -------------------
+# The Gopher-style "repetitious text" filters: fraction of tokens taken by
+# the most frequent token, type-token ratio, and duplicate 2-/3-gram
+# fractions. Repetitive machine-generated or boilerplate text scores high
+# on dup fractions and low on TTR — these are standard pre-training
+# corpus-quality gates alongside d08's surface stats.
+#
+# Plan shape: ONE explode emits (doc_id, k, gram) for k=1,2,3 together, so
+# the whole operator is a single shuffle on (doc_id, k, gram) for the
+# count, a window aligned on the same keys for the argmax token, and a
+# final per-doc conditional-aggregation pivot (second shuffle, narrow key).
+# At 100 TB: linear in corpus token count, no joins, no skew risk beyond
+# pathological single-doc size (bounded by upstream length filters).
+#
+# Determinism: all counts are exact integers; ratios divide two exact
+# int64s (< 2^53 → identical doubles on both engines) and round via _r;
+# the top token breaks count ties lexicographically.
+
+
+def d19_repetition(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+
+    def garr(k):
+        idx = F.when(
+            n >= k, F.sequence(F.lit(1), n - (k - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(k).alias("k"),
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ).alias("g"),
+            ),
+        )
+
+    ex = d.select(
+        "doc_id", F.explode(F.concat(garr(1), garr(2), garr(3))).alias("kg")
+    ).select("doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+    counts = ex.groupBy("doc_id", "k", "g").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id", "k").orderBy(F.desc("c"), F.asc("g"))
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    stats = ranked.groupBy("doc_id", "k").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("nd"),
+        F.max("c").alias("maxc"),
+        F.min(F.when(F.col("rn") == 1, F.col("g"))).alias("topg"),
+    )
+
+    def at(k, col):
+        return F.max(F.when(F.col("k") == k, F.col(col)))
+
+    per_doc = stats.groupBy("doc_id").agg(
+        at(1, "total").alias("n_tok"),
+        at(1, "nd").alias("n_types"),
+        at(1, "topg").alias("top_tok"),
+        at(1, "maxc").alias("top_c"),
+        at(2, "total").alias("t2"),
+        at(2, "nd").alias("nd2"),
+        at(3, "total").alias("t3"),
+        at(3, "nd").alias("nd3"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tok",
+        "n_types",
+        "top_tok",
+        _r(F.col("top_c") / F.col("n_tok"), 6).alias("top_tok_frac6"),
+        _r(F.col("n_types") / F.col("n_tok"), 6).alias("ttr6"),
+        _r((F.col("t2") - F.col("nd2")) / F.col("t2"), 6).alias("dup2_frac6"),
+        _r((F.col("t3") - F.col("nd3")) / F.col("t3"), 6).alias("dup3_frac6"),
+    )
+
+
+def _d19_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, 1 AS k, t[i] AS g
+  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+  UNION ALL
+  SELECT doc_id, 2, t[i] || ' ' || t[i+1]
+  FROM toks, UNNEST(range(1, len(t))) AS r(i) WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, 3, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i) WHERE len(t) >= 3
+),
+counts AS (SELECT doc_id, k, g, COUNT(*) AS c FROM g GROUP BY doc_id, k, g),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, k
+                               ORDER BY c DESC, g ASC) AS rn
+  FROM counts
+),
+stats AS (
+  SELECT doc_id, k, CAST(SUM(c) AS BIGINT) AS total,
+         COUNT(*) AS nd, MAX(c) AS maxc,
+         MIN(CASE WHEN rn = 1 THEN g END) AS topg
+  FROM ranked GROUP BY doc_id, k
+),
+per_doc AS (
+  SELECT doc_id,
+         MAX(CASE WHEN k = 1 THEN total END) AS n_tok,
+         MAX(CASE WHEN k = 1 THEN nd END) AS n_types,
+         MAX(CASE WHEN k = 1 THEN topg END) AS top_tok,
+         MAX(CASE WHEN k = 1 THEN maxc END) AS top_c,
+         MAX(CASE WHEN k = 2 THEN total END) AS t2,
+         MAX(CASE WHEN k = 2 THEN nd END) AS nd2,
+         MAX(CASE WHEN k = 3 THEN total END) AS t3,
+         MAX(CASE WHEN k = 3 THEN nd END) AS nd3
+  FROM stats GROUP BY doc_id
+)
+SELECT doc_id, n_tok, n_types, top_tok,
+       {_rsql('CAST(top_c AS DOUBLE) / n_tok', 6)} AS top_tok_frac6,
+       {_rsql('CAST(n_types AS DOUBLE) / n_tok', 6)} AS ttr6,
+       {_rsql('CAST(t2 - nd2 AS DOUBLE) / t2', 6)} AS dup2_frac6,
+       {_rsql('CAST(t3 - nd3 AS DOUBLE) / t3', 6)} AS dup3_frac6
+FROM per_doc
+"""
+
+
 SUITE = {
     "d07_langid": QueryCase(d07_langid, _d07_sql(), "language-ID heuristic"),
     "d08_quality": QueryCase(d08_quality, _d08_sql(), "doc quality scoring"),
@@ -265,4 +387,19 @@ SUITE = {
     "d10_fingerprint": QueryCase(
         d10_fingerprint, D10_SQL, "winnowing fingerprints"
     ),
+    "d19_repetition": QueryCase(
+        d19_repetition, _d19_sql(), "repetition / n-gram diversity signals"
+    ),
 }
+
+from datafusion_table_providers_spark.operators.relational import _merged
+
+d10b_fingerprint_repetition, D10B_SQL = _merged(
+    ("d10", d10_fingerprint, D10_SQL),
+    ("d19", d19_repetition, _d19_sql()),
+)
+SUITE["d10b_fingerprint_repetition"] = QueryCase(
+    d10b_fingerprint_repetition,
+    D10B_SQL,
+    "winnowing fingerprints + repetition signals (merged)",
+)

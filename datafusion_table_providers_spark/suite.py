@@ -75,7 +75,7 @@ PRIORITY_WINDOW = [
     "d07_langid",
     "d08_quality",
     "d09_token_count",
-    "d10_fingerprint",
+    "d10b_fingerprint_repetition",
     # curation: decontamination / sampling / packing — 3
     "d13_decontaminate",
     "d14_stratified_sample",
@@ -89,8 +89,8 @@ PRIORITY_WINDOW = [
     "e03b_distributions",
     "e04_stats",
     "e08_sketch_bounds",
-    # embedding quantization (vector compression) — 1
-    "d16_embedding_quantize",
+    # vector compression: int8 scalar + PQ encode + ADC (merged) — 1
+    "d16b_vector_compression",
     # relational surface B1–B24 (+ streaming shapes) — 19
     "b01_scan_projection",
     "b02b_filters_all",

@@ -55,6 +55,78 @@ def test_sketch_broadcast_scalars(spark):
     )
 
 
+def test_pq_encode_map_only_and_codes_valid(spark):
+    from datafusion_table_providers_spark.llm.similarity import (
+        PQ_K,
+        PQ_M,
+        d18_pq_encode,
+    )
+
+    df = d18_pq_encode(spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan, (
+        "PQ encode is one narrow pass over the corpus (codebook is a "
+        "broadcast literal); a shuffle means the plan broke"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
+        assert r.recon_err >= 0
+    # codebook members encode to themselves exactly
+    for r in rows:
+        if r.vec_id < PQ_K:
+            assert r.recon_err == 0 and list(r.codes) == [r.vec_id] * PQ_M, (
+                "a codebook vector's nearest entry in every segment is "
+                "itself, at distance 0"
+            )
+
+
+def test_pq_adc_ranks_codebook_twin_first(spark):
+    from datafusion_table_providers_spark.llm.similarity import (
+        PQ_NQ,
+        PQ_TOPK,
+        d18b_pq_adc,
+    )
+
+    df = d18b_pq_adc(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        "the query set must broadcast; ADC scans the encoded table once"
+    )
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(range(PQ_NQ))
+    for qid, rs in by_q.items():
+        assert len(rs) == PQ_TOPK
+        ranks = sorted(r.rnk for r in rs)
+        assert ranks == list(range(1, PQ_TOPK + 1))
+        dists = [r.adist for r in sorted(rs, key=lambda r: r.rnk)]
+        assert dists == sorted(dists), "rank must follow ascending adist"
+
+
+def test_repetition_signals_bounds(spark):
+    from datafusion_table_providers_spark.llm.text import d19_repetition
+
+    rows = d19_repetition(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_types <= r.n_tok
+        assert 0 < r.top_tok_frac6 <= 1
+        assert 0 < r.ttr6 <= 1
+        if r.dup2_frac6 is not None:
+            assert 0 <= r.dup2_frac6 <= 1
+        if r.dup3_frac6 is not None:
+            assert 0 <= r.dup3_frac6 <= 1
+            # a duplicated 3-gram implies a duplicated 2-gram at least as often
+            if r.dup2_frac6 == 0:
+                assert r.dup3_frac6 == 0
+
+
 def test_kmeans_partitions_all_vectors(spark):
     from datafusion_table_providers_spark.llm.similarity import (
         KM_K,
