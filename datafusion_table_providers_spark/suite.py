@@ -70,7 +70,7 @@ PRIORITY_WINDOW = [
     "d12_dedup_components",
     # similarity search + clustering — 2
     "d05b_knn_lsh",
-    "d17_kmeans_clusters",
+    "d17b_cluster_semdedup",
     # text analysis — 4
     "d07_langid",
     "d08_quality",

@@ -127,6 +127,28 @@ def test_repetition_signals_bounds(spark):
                 assert r.dup3_frac6 == 0
 
 
+def test_semdedup_prunes_within_clusters(spark):
+    from datafusion_table_providers_spark.llm.similarity import (
+        d17_kmeans_clusters,
+        d20_semdedup,
+    )
+
+    rows = d20_semdedup(spark, SF).collect()
+    assert rows
+    kdict = {
+        r.cid: r.n_members for r in d17_kmeans_clusters(spark, SF).collect()
+    }
+    for r in rows:
+        assert r.n_members == kdict[r.cid], (
+            "SemDeDup must prune over exactly the d17 cluster assignment"
+        )
+        assert r.n_dropped + r.n_kept == r.n_members
+        assert r.n_kept >= 1, (
+            "the lowest-id member of a cluster is never within tau of a "
+            "lower id, so every cluster keeps at least one representative"
+        )
+
+
 def test_kmeans_partitions_all_vectors(spark):
     from datafusion_table_providers_spark.llm.similarity import (
         KM_K,
