@@ -598,3 +598,102 @@ def exact_dedup_fast(df, text_col="text"):
         )
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
     )
+
+
+# --- d22: edit-distance (Levenshtein) near-dup with prefix blocking -------
+# Fuzzy dedup for the cases hashing families miss: small character-level
+# edits (OCR noise, whitespace/punctuation drift, minor rewrites). Classic
+# record-linkage shape: BLOCK first, compare second — candidate pairs come
+# only from a cheap equi-join on a blocking key, and the quadratic
+# Levenshtein DP runs per-pair on fixed-length normalized prefixes, so
+# per-pair cost is a constant (PFX_LEN^2 character ops).
+#
+# Scale shape (100 TB): one scan computes (prefix, block-key); the
+# candidate generator is a self-equi-join on the block key (hash shuffle,
+# never an all-pairs product); D22_BLOCK_CAP drops pathological blocks
+# (boilerplate-heavy shards) before the join, bounding per-block work the
+# same way FREQ_CAP does in d04. Recall tradeoff is explicit: near-dups
+# whose first D22_BLOCK chars differ are missed — production would union a
+# second blocking pass (e.g. suffix key or length bucket) exactly like
+# d11b's multi-probe union.
+#
+# Determinism: normalization is regexp_replace + lower + substr (identical
+# semantics both engines) and the output columns are all integers —
+# Levenshtein distance is exact DP, no float anywhere.
+D22_PFX_LEN = 64
+D22_BLOCK = 4
+D22_TAU = 24
+D22_BLOCK_CAP = 1000
+
+
+def _d22_prefixed(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pfx = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""),
+        1,
+        D22_PFX_LEN,
+    )
+    return d.select(
+        "doc_id", pfx.alias("pfx"), F.substring(pfx, 1, D22_BLOCK).alias("bk")
+    )
+
+
+def d22_editdist_neardup(spark, sf_dir):
+    p = _d22_prefixed(spark, sf_dir)
+    ok = (
+        p.groupBy("bk")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= D22_BLOCK_CAP)
+        .select("bk")
+    )
+    p = p.join(F.broadcast(ok), "bk")
+    a = p.select(
+        F.col("bk"), F.col("doc_id").alias("da"), F.col("pfx").alias("pa")
+    )
+    b = p.select(
+        F.col("bk"), F.col("doc_id").alias("db"), F.col("pfx").alias("pb")
+    )
+    return (
+        a.join(b, "bk")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "da", "db", F.levenshtein(F.col("pa"), F.col("pb")).alias("dist")
+        )
+        .filter(F.col("dist") <= D22_TAU)
+    )
+
+
+_D22_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1,
+                {D22_PFX_LEN}) AS pfx
+  FROM documents
+),
+blk AS (SELECT doc_id, pfx, substr(pfx, 1, {D22_BLOCK}) AS bk FROM p),
+ok AS (SELECT bk FROM blk GROUP BY bk HAVING COUNT(*) <= {D22_BLOCK_CAP}),
+f AS (SELECT blk.* FROM blk JOIN ok USING (bk))
+SELECT a.doc_id AS da, b.doc_id AS db,
+       levenshtein(a.pfx, b.pfx) AS dist
+FROM f a JOIN f b ON a.bk = b.bk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= {D22_TAU}
+"""
+
+
+SUITE["d22_editdist_neardup"] = QueryCase(
+    d22_editdist_neardup,
+    _D22_SQL,
+    "edit-distance near-dup (blocked Levenshtein)",
+)
+
+from datafusion_table_providers_spark.operators.relational import _merged
+
+d04b_ngram_editdist, _D04B_SQL = _merged(
+    ("d04", d04_ngram_jaccard, _D04_SQL),
+    ("d22", d22_editdist_neardup, _D22_SQL),
+)
+SUITE["d04b_ngram_editdist"] = QueryCase(
+    d04b_ngram_editdist,
+    _D04B_SQL,
+    "n-gram Jaccard + edit-distance near-dup (merged)",
+)

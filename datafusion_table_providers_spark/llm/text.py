@@ -403,3 +403,147 @@ SUITE["d10b_fingerprint_repetition"] = QueryCase(
     D10B_SQL,
     "winnowing fingerprints + repetition signals (merged)",
 )
+
+
+# --- d21: BM25 keyword search (rational-idf variant) ----------------------
+# Full-text relevance ranking over the corpus: tokenize, compute document
+# frequencies and lengths, score each document against a fixed query-term
+# set with the BM25 tf/length saturation, return the global top-K.
+#
+# Scale shape (100 TB): one scan + explode for the token table, two hash
+# aggregations (tf per (doc, term), dl per doc); df and the corpus stats are
+# tiny aggregates broadcast to the scorers, so the only wide shuffle keys on
+# doc_id. The top-K uses orderBy().limit(), which Spark executes as
+# per-partition TakeOrdered + a K-row merge on the driver — never a global
+# sort of the full corpus.
+#
+# Determinism contract: the classic BM25 idf is ln((N-df+0.5)/(df+0.5)+1);
+# JVM Math.log and DuckDB/libm ln disagree in the last ULP (measured: 8/172
+# probed inputs), which the driver's bit-strict hash would surface. This
+# variant uses the RATIONAL idf (N-df+0.5)/(df+0.5) — monotone in df, so
+# per-term ranking semantics are preserved — and every remaining operation
+# is IEEE +,-,*,/ evaluated with identical textual parenthesization on both
+# engines, making the scores bit-identical. Per-doc totals add the per-term
+# scores in a FIXED left-fold order (never a float SUM across rows).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("data", "join", "window", "stream")
+BM25_TOPK = 15
+
+
+def _tokens_df(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def d21_bm25(spark, sf_dir):
+    tok = _tokens_df(spark, sf_dir).localCheckpoint(eager=True)
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("nd"), F.sum("dl").alias("tt"))
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = F.col("tt").cast("double") / F.col("nd")
+    idf = (F.col("nd") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    score = idf * (
+        (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / avgdl))
+        )
+    )
+    per = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", score.alias("s"))
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+            ).alias(f"s_{i}")
+            for i, t in enumerate(BM25_QUERY)
+        ],
+    )
+    total = F.col("s_0")
+    for i in range(1, len(BM25_QUERY)):
+        total = total + F.col(f"s_{i}")
+    tot = agg.select("doc_id", "n_terms", total.alias("score"))
+    top = tot.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOPK)
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("score").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        "doc_id",
+        "n_terms",
+        _r(F.col("score"), 6).alias("score6"),
+    )
+
+
+def _d21_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    sums = ",\n    ".join(
+        f"COALESCE(SUM(CASE WHEN term = '{t}' THEN s END), 0.0) AS s_{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    total = "s_0"
+    for i in range(1, len(BM25_QUERY)):
+        total = f"({total} + s_{i})"
+    score = (
+        f"((nd - df + 0.5) / (df + 0.5)) * "
+        f"((tf * {BM25_K1 + 1.0!r}) / "
+        f"(tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * "
+        f"(dl / (CAST(tt AS DOUBLE) / nd)))))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+    FROM documents) WHERE t <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS nd, SUM(dl) AS tt FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, tf.term, {score} AS s
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN stats
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_terms,
+    {sums}
+  FROM per GROUP BY doc_id
+),
+tot AS (SELECT doc_id, n_terms, {total} AS score FROM agg)
+SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk,
+       doc_id, n_terms, {_rsql('score', 6)} AS score6
+FROM tot ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+SUITE["d21_bm25"] = QueryCase(
+    d21_bm25, _d21_sql(), "BM25 keyword search (rational idf, top-K)"
+)
+
+d09b_tokens_bm25, D09B_SQL = _merged(
+    ("d09", d09_token_count, D09_SQL),
+    ("d21", d21_bm25, _d21_sql()),
+)
+SUITE["d09b_tokens_bm25"] = QueryCase(
+    d09b_tokens_bm25,
+    D09B_SQL,
+    "token counting + BM25 search (merged)",
+)

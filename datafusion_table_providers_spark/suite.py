@@ -65,16 +65,16 @@ PRIORITY_WINDOW = [
     "d01_exact_dedup",
     "d02b_minhash_lsh_pairs",
     "d03b_simhash_pairs",
-    "d04_ngram_jaccard",
+    "d04b_ngram_editdist",
     "d11b_neardup_multiprobe",
     "d12_dedup_components",
     # similarity search + clustering — 2
     "d05b_knn_lsh",
     "d17b_cluster_semdedup",
-    # text analysis — 4
+    # text analysis + search — 4
     "d07_langid",
     "d08_quality",
-    "d09_token_count",
+    "d09b_tokens_bm25",
     "d10b_fingerprint_repetition",
     # curation: decontamination / sampling / packing — 3
     "d13_decontaminate",
