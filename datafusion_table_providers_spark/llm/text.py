@@ -547,3 +547,86 @@ SUITE["d09b_tokens_bm25"] = QueryCase(
     D09B_SQL,
     "token counting + BM25 search (merged)",
 )
+
+
+# --- d23: positional phrase search (inverted-index adjacency) -------------
+# The retrieval primitive BM25 can't express: exact phrase matching via a
+# POSITIONAL inverted index — token positions survive indexing, and a
+# phrase query intersects the posting lists of its words on
+# (doc_id, pos_next == pos + 1). Integer-only outputs, so bit-strict safe.
+#
+# Scale shape (100 TB): the per-term posting fetch is a filter on the token
+# table (pushes to the scan), so the adjacency join touches only the query
+# terms' postings, keyed (doc_id, pos) — a hash equi-join whose size is the
+# posting-list product per doc, not the corpus. Stop-word-heavy phrases are
+# the skew case; production caps df per term (as d04's FREQ_CAP) or routes
+# them to the BM25 scorer instead.
+#
+# Position semantics: split('[^a-z]+') consumes delimiter runs, so empty
+# tokens appear only at the string edges; filtering them keeps interior
+# adjacency intact. Spark posexplode and the oracle's zipped
+# unnest(range(0, len(l))) are both 0-based over the same split output.
+D23_PHRASE = ("table", "hash")
+
+
+def d23_phrase_search(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+            "pos", "term"
+        ),
+    ).filter(F.col("term") != "")
+    w1, w2 = D23_PHRASE
+    a = tok.filter(F.col("term") == w1).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = tok.filter(F.col("term") == w2).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("pb") == F.col("pa") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def _d23_sql() -> str:
+    w1, w2 = D23_PHRASE
+    return f"""
+WITH tok AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest(l) AS term, unnest(range(0, len(l))) AS pos
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(text), '[^a-z]+') AS l
+          FROM documents)
+  ) WHERE term <> ''
+)
+SELECT a.doc_id, COUNT(*) AS n_hits
+FROM (SELECT doc_id, pos AS pa FROM tok WHERE term = '{w1}') a
+JOIN (SELECT doc_id AS doc_b, pos AS pb FROM tok WHERE term = '{w2}') b
+  ON a.doc_id = b.doc_b AND b.pb = a.pa + 1
+GROUP BY a.doc_id
+"""
+
+
+SUITE["d23_phrase_search"] = QueryCase(
+    d23_phrase_search,
+    _d23_sql(),
+    "positional phrase search (inverted-index adjacency)",
+)
+
+d09c_text_search, D09C_SQL = _merged(
+    ("d09", d09_token_count, D09_SQL),
+    ("d21", d21_bm25, _d21_sql()),
+    ("d23", d23_phrase_search, _d23_sql()),
+)
+SUITE["d09c_text_search"] = QueryCase(
+    d09c_text_search,
+    D09C_SQL,
+    "token counting + BM25 + phrase search (merged)",
+)

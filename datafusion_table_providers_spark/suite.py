@@ -74,7 +74,7 @@ PRIORITY_WINDOW = [
     # text analysis + search — 4
     "d07_langid",
     "d08_quality",
-    "d09b_tokens_bm25",
+    "d09c_text_search",
     "d10b_fingerprint_repetition",
     # curation: decontamination / sampling / packing — 3
     "d13_decontaminate",

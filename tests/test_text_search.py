@@ -82,3 +82,26 @@ def test_editdist_exact_dups_have_distance_zero(spark):
         .collect()
     )
     assert len(pairs) == 1 and pairs[0].dist == 0
+
+
+def test_phrase_search_hits_are_real(spark):
+    from datafusion_table_providers_spark.llm.dedup import _t  # reuse reader
+    from datafusion_table_providers_spark.llm.text import (
+        D23_PHRASE,
+        d23_phrase_search,
+    )
+
+    rows = d23_phrase_search(spark, SF).collect()
+    assert rows, "corpus should contain the probe phrase"
+    phrase_re = rf"\b{D23_PHRASE[0]}[^a-z]+{D23_PHRASE[1]}\b"
+    docs = {
+        r.doc_id: r.text
+        for r in _t(spark, SF, "documents")
+        .filter(F.col("doc_id").isin([r.doc_id for r in rows]))
+        .collect()
+    }
+    import re
+
+    for r in rows:
+        found = len(re.findall(phrase_re, docs[r.doc_id].lower()))
+        assert found == r.n_hits, (r.doc_id, found, r.n_hits)
