@@ -620,8 +620,17 @@ def exact_dedup_fast(df, text_col="text"):
 # Determinism: normalization is regexp_replace + lower + substr (identical
 # semantics both engines) and the output columns are all integers —
 # Levenshtein distance is exact DP, no float anywhere.
+#
+# Block-key selectivity is the scale lever (probed on the synthetic corpus):
+# a 4-char key saturates on a fixed vocabulary — candidates grew 4,037 →
+# 405,823 (100×) over a 4× doc step, a quadratic hop the cross-SF probe
+# caught. The 8-char key keeps 258/262 true pairs (98.5% recall) at 13.5×
+# fewer candidates; block count keeps growing with corpus instead of
+# saturating. The Spark side also bounds the DP with the threshold form
+# levenshtein(a, b, tau) — O(tau·n) early-exit, -1 above tau — which the
+# oracle's plain `levenshtein() <= tau` filter reproduces exactly.
 D22_PFX_LEN = 64
-D22_BLOCK = 4
+D22_BLOCK = 8
 D22_TAU = 24
 D22_BLOCK_CAP = 1000
 
@@ -657,9 +666,11 @@ def d22_editdist_neardup(spark, sf_dir):
         a.join(b, "bk")
         .filter(F.col("da") < F.col("db"))
         .select(
-            "da", "db", F.levenshtein(F.col("pa"), F.col("pb")).alias("dist")
+            "da",
+            "db",
+            F.levenshtein(F.col("pa"), F.col("pb"), D22_TAU).alias("dist"),
         )
-        .filter(F.col("dist") <= D22_TAU)
+        .filter(F.col("dist") >= 0)
     )
 
 
