@@ -27,15 +27,18 @@ from datafusion_table_providers_spark.core.case import QueryCase, utc
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     utc(spark)
     if name == "events":
-        # The driver writes events.ts as parquet TIMESTAMP(NANOS); Spark's
-        # vectorized reader rejects nanos, so read as raw int64 nanoseconds
-        # and floor-truncate to microseconds (same truncation DuckDB applies).
+        # Driver testdata has shipped events.ts both as TIMESTAMP(NANOS)
+        # (round 1) and TIMESTAMP(MICROS) (round 2) — handle either. Nanos
+        # needs the nanosAsLong escape hatch (the vectorized reader rejects
+        # nanos), then a floor-truncate to micros — the same truncation
+        # DuckDB applies; micros reads natively.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -34,27 +34,42 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # raw nanos (nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _event_schema(ts_nanos: bool) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            # nanos testdata: raw int64 via nanosAsLong; micros: native ts
+            StructField("ts", LongType() if ts_nanos else TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def _ts_is_nanos(sf_dir: str) -> bool:
+    """Peek the parquet footer (one driver-side metadata read) — driver
+    testdata has shipped events.ts as both TIMESTAMP(NANOS) and MICROS."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    return getattr(t, "unit", None) == "ns"
 
 
 def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = _ts_is_nanos(sf_dir)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(_event_schema(nanos))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_counts(
