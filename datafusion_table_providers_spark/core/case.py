@@ -23,6 +23,25 @@ class QueryCase:
     doc: str = ""
 
 
+def events_ts_meta(sf_dir: str) -> tuple:
+    """(is_nanos, is_ntz) for ``events.ts``, from one driver-side parquet
+    footer read. Driver testdata has shipped the column as TIMESTAMP(NANOS)
+    (round 1) and TIMESTAMP(MICROS, no tz) (round 2+); readers must adapt.
+
+    Local-filesystem paths only (pyarrow peek): fine for driver testdata; a
+    remote ``sf_dir`` (s3://, hdfs://) would need a filesystem abstraction
+    here before the Spark read — which itself handles any scheme.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    is_nanos = getattr(t, "unit", None) == "ns"
+    is_ntz = getattr(t, "tz", None) is None
+    return is_nanos, is_ntz
+
+
 def utc(spark: SparkSession) -> SparkSession:
     """Apply engine session tuning (UTC timezone, AQE, Python-source filter
     pushdown, Arrow batching) to whatever session invoked us.

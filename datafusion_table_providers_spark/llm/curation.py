@@ -199,7 +199,8 @@ binned AS (
          ), 0) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
   FROM toksz
 )
-SELECT source, bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens_packed,
+SELECT source, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM binned GROUP BY source, bin_id
 """

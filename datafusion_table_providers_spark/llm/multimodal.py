@@ -223,9 +223,17 @@ m01b_meta_frames, M01B_SQL = _merged(
     ("m01", m01_multimodal_meta, M01_SQL),
     ("m02", m02_frame_sample, M02_SQL),
 )
+# Window twin: serialize the `feat` array to CSV on both sides (the driver's
+# canonicalizer can't hash ndarray cells); m04_features stays the
+# array-returning production API.
+from datafusion_table_providers_spark.operators.relational import (
+    _stringify_arrays,
+)
+
+_m04_w, _M04_W_SQL = _stringify_arrays(m04_features, M04_SQL, ["feat"])
 m03b_resize_features, M03B_SQL = _merged(
     ("m03", m03_resize, M03_SQL),
-    ("m04", m04_features, M04_SQL),
+    ("m04", _m04_w, _M04_W_SQL),
 )
 
 SUITE = {

@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datafusion_table_providers_spark.core.case import QueryCase, utc
+from datafusion_table_providers_spark.core.case import QueryCase, events_ts_meta, utc
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -31,12 +31,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (round 1) and TIMESTAMP(MICROS) (round 2) — handle either. Nanos
         # needs the nanosAsLong escape hatch (the vectorized reader rejects
         # nanos), then a floor-truncate to micros — the same truncation
-        # DuckDB applies; micros reads natively.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # DuckDB applies; micros reads natively. The legacy conf is only set
+        # when the footer actually says nanos, so it can't leak into other
+        # parquet reads in the session.
+        nanos, _ = events_ts_meta(sf_dir)
+        if nanos:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
+        if nanos:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -777,6 +779,30 @@ FROM s GROUP BY user_id
 # ``UNION ALL BY NAME`` have identical align-by-name semantics, and the
 # branch queries are byte-for-byte the single-capability builders/oracles,
 # so a merged pass is exactly as strong as the individual passes.
+
+
+def _stringify_arrays(fn, sql, array_cols):
+    """Window-row twin of an array-returning query: serialize each array
+    column to a CSV string on BOTH sides so the driver's pandas canonicalizer
+    can hash it (ndarray cells are unhashable → the row can never certify).
+    The array-returning original stays registered as the production twin.
+
+    Spark ``concat_ws(',', cast(array<string>))`` and DuckDB
+    ``array_to_string(col, ',')`` render integers identically, so the
+    serialization is hash-stable across engines.
+    """
+
+    def wrapped(spark, sf_dir, _fn=fn, _cols=tuple(array_cols)):
+        df = _fn(spark, sf_dir)
+        for c in _cols:
+            df = df.withColumn(
+                c, F.concat_ws(",", F.col(c).cast("array<string>"))
+            )
+        return df
+
+    repl = ", ".join(f"array_to_string({c}, ',') AS {c}" for c in array_cols)
+    wrapped_sql = f"SELECT * REPLACE ({repl}) FROM (\n{sql.strip()}\n)"
+    return wrapped, wrapped_sql
 
 
 def _merged(*parts):

@@ -19,6 +19,7 @@ are a beyond-parity addition built the Spark-native way:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -31,15 +32,27 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
-def _event_schema(ts_nanos: bool) -> StructType:
+from datafusion_table_providers_spark.core.case import events_ts_meta, utc
+
+
+def _event_schema(ts_nanos: bool, ts_ntz: bool) -> StructType:
+    if ts_nanos:
+        # nanos testdata: raw int64 via nanosAsLong
+        ts_type = LongType()
+    elif ts_ntz:
+        # MICROS with no tz annotation: the vectorized reader refuses to
+        # read an NTZ column as LTZ, so the stream schema must say NTZ too.
+        ts_type = TimestampNTZType()
+    else:
+        ts_type = TimestampType()
     return StructType(
         [
             StructField("event_id", LongType()),
-            # nanos testdata: raw int64 via nanosAsLong; micros: native ts
-            StructField("ts", LongType() if ts_nanos else TimestampType()),
+            StructField("ts", ts_type),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -48,27 +61,24 @@ def _event_schema(ts_nanos: bool) -> StructType:
     )
 
 
-def _ts_is_nanos(sf_dir: str) -> bool:
-    """Peek the parquet footer (one driver-side metadata read) — driver
-    testdata has shipped events.ts as both TIMESTAMP(NANOS) and MICROS."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    return getattr(t, "unit", None) == "ns"
-
-
 def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nanos = _ts_is_nanos(sf_dir)
+    utc(spark)  # LTZ reads must collect session-timezone-independently
+    nanos, ntz = events_ts_meta(sf_dir)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(_event_schema(nanos))
+        spark.readStream.schema(_event_schema(nanos, ntz))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
     if nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ntz:
+        # Watermarks demand TIMESTAMP (LTZ). The read schema had to say NTZ
+        # to match the file; with the session pinned to UTC above, this cast
+        # is value-stable and matches the batch oracle.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
@@ -194,7 +204,6 @@ def stream_to_backend(
     ``awaitTermination``."""
     from datafusion_table_providers_spark.write import writer
 
-    import os
     import uuid
 
     # Batch ids are only unique within one checkpoint *lineage* (a fresh
