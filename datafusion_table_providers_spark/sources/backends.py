@@ -188,6 +188,42 @@ class SQLiteBackend(Backend):
         arrays = list(zip(*rows)) if rows else [[] for _ in cols]
         return pa.table({c: list(v) for c, v in zip(cols, arrays)})
 
+    def query_arrow_batches(self, sql: str, batch_size: int = 65536):
+        """Chunked ``fetchmany`` → RecordBatch stream (same converter shape
+        as dbapi_source.read); driver memory is bounded by ``batch_size``
+        rows per chunk, which lets ``materialize_remote``'s spool guard
+        cover SQLite federation instead of falling back to a full driver
+        materialization.
+
+        SQLite has no static result types, so Arrow types are inferred from
+        the FIRST chunk; later chunks are built against that schema. A
+        column whose type genuinely changes mid-stream (legal under
+        SQLite's dynamic typing) fails loudly — CAST it in the SQL.
+        """
+        with self._lock:
+            cur = self._connect().execute(sql)
+            cols = [d[0] for d in cur.description]
+            schema = None
+            while True:
+                rows = cur.fetchmany(batch_size)
+                if not rows:
+                    return
+                columns = list(zip(*rows))
+                if schema is None:
+                    arrays = [pa.array(list(c)) for c in columns]
+                    schema = pa.schema(
+                        [
+                            pa.field(n, a.type)
+                            for n, a in zip(cols, arrays)
+                        ]
+                    )
+                else:
+                    arrays = [
+                        pa.array(list(c), type=f.type)
+                        for c, f in zip(columns, schema)
+                    ]
+                yield pa.record_batch(arrays, schema=schema)
+
     def execute(self, sql: str, params: Optional[Iterable] = None) -> int:
         with self._lock:
             con = self._connect()

@@ -50,8 +50,8 @@ def materialize_remote(
     results to parquet so they never fully materialize in driver memory."""
     batches_fn = getattr(backend, "query_arrow_batches", None)
     if batches_fn is None:
-        # row-converting backends (SQLite) have no batch stream; their
-        # embedded results are driver-local by construction
+        # both shipped embedded backends (DuckDB, SQLite) stream batches;
+        # this fallback only covers third-party Backend subclasses
         return spark.createDataFrame(backend.query_arrow(sql))
 
     buffered = []

@@ -132,6 +132,37 @@ def insert_into(
             )
         return _insert_duckdb(backend, table, df, mode, on_conflict)
     if isinstance(backend, SQLiteBackend):
+        # For SQLite, ``via`` is "loop" (toLocalIterator prepared-statement
+        # batches — every row transits the driver, right for small frames)
+        # or "staged" (distributed_insert: executors append directly into a
+        # staging table via their own sqlite3 connections, driver only runs
+        # the final INSERT…SELECT commit — the scale path; writers serialize
+        # on SQLite's file lock but the data never funnels through the
+        # driver). "auto" picks staged for >8-partition inputs when the
+        # database is a real file under a local master; on a cluster pass
+        # via="staged" explicitly only if the file is on storage every
+        # executor can open safely.
+        local = df.sparkSession.conf.get("spark.master", "").startswith("local")
+        if via in ("auto", "arrow", "spool"):
+            via = (
+                "staged"
+                if df.rdd.getNumPartitions() > 8
+                and backend.path != ":memory:"
+                and local
+                else "loop"
+            )
+        if via == "staged":
+            if mode == "overwrite":
+                backend.execute(f'DELETE FROM "{table}"')
+            return distributed_insert(
+                df,
+                table,
+                "sqlite3",
+                connect_args=(backend.path,),
+                connect_kwargs={"timeout": 120.0},
+                dialect_name="sqlite",
+                on_conflict=on_conflict,
+            )
         return _insert_sqlite(backend, table, df, mode, on_conflict)
     raise ValueError(f"no write support for backend {backend}")
 

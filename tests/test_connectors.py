@@ -281,6 +281,49 @@ def test_large_fragment_spools_off_driver(spark, tmp_path):
     assert df2.collect()[0].n == 500
 
 
+def test_sqlite_large_fragment_spools_off_driver(spark, tmp_path):
+    """SQLite federation gets the same spool guard as DuckDB: above
+    threshold_rows the fragment streams through chunked fetchmany →
+    RecordBatch → parquet spool, never a full driver materialization."""
+    from datafusion_table_providers_spark.sources.backends import SQLiteBackend
+
+    b = SQLiteBackend(str(tmp_path / "spool.db"))
+    df_in = spark.createDataFrame(
+        [(i, f"g{i % 4}", float(i)) for i in range(500)], SCHEMA
+    )
+    writer.insert_into(b, "t", df_in)
+    eng = Engine(spark)
+    eng.register_backend_table("sq_spooled", b, "t")
+    df = eng.sql("SELECT id, v FROM sq_spooled", threshold_rows=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower(), plan
+    assert df.count() == 500
+    # small results stay on the one-hop in-memory path
+    df2 = eng.sql("SELECT count(*) AS n FROM sq_spooled", threshold_rows=100)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan2.lower(), plan2
+    assert df2.collect()[0].n == 500
+
+
+def test_sqlite_query_arrow_batches_bounded_chunks(tmp_path):
+    """The batch stream honors batch_size (driver holds one chunk at a
+    time) and survives an all-NULL leading column value."""
+    from datafusion_table_providers_spark.sources.backends import SQLiteBackend
+
+    b = SQLiteBackend(str(tmp_path / "chunks.db"))
+    b.execute("CREATE TABLE t (id INTEGER, s TEXT)")
+    b.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(i, None if i == 0 else f"s{i}") for i in range(1000)],
+    )
+    batches = list(b.query_arrow_batches("SELECT id, s FROM t", batch_size=128))
+    assert sum(bt.num_rows for bt in batches) == 1000
+    assert max(bt.num_rows for bt in batches) <= 128
+    assert len(batches) == 8
+    # inferred schema is stable across chunks
+    assert all(bt.schema == batches[0].schema for bt in batches)
+
+
 def test_sort_limit_pushdown_in_generated_sql(spark, tmp_path):
     """A5/A6: caller-directed ORDER BY / LIMIT reach the generated SQL;
     Spark's own TopK above the scan stays the global truth (Inexact

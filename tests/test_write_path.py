@@ -236,3 +236,61 @@ def test_distributed_insert_validates_constraints(spark, tmp_path):
             create=True,
             primary_keys=["id"],
         )
+
+
+def test_sqlite_auto_routes_staged_for_large_inputs(spark, tmp_path, monkeypatch):
+    """>8-partition inputs bypass the driver row loop: executors append via
+    distributed_insert's staging table; the loop stays for small frames."""
+    from datafusion_table_providers_spark.sources.backends import SQLiteBackend
+
+    b = SQLiteBackend(str(tmp_path / "routed.db"))
+    called = {"loop": 0}
+    orig = writer._insert_sqlite
+
+    def spy(*a, **k):
+        called["loop"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(writer, "_insert_sqlite", spy)
+
+    big = spark.range(0, 5000, 1, 16).select(
+        F.col("id"), F.col("id").cast("string").alias("v")
+    )
+    writer.insert_into(b, "big", big)
+    assert called["loop"] == 0  # staged path taken
+    assert (
+        b.query_arrow('SELECT COUNT(*) AS n FROM "big"')[0][0].as_py() == 5000
+    )
+
+    small = spark.range(0, 10, 1, 2).select(
+        F.col("id"), F.col("id").cast("string").alias("v")
+    )
+    writer.insert_into(b, "small", small)
+    assert called["loop"] == 1  # row loop only for small frames
+    assert (
+        b.query_arrow('SELECT COUNT(*) AS n FROM "small"')[0][0].as_py() == 10
+    )
+
+
+def test_sqlite_staged_overwrite_and_memory_fallback(spark, tmp_path):
+    from datafusion_table_providers_spark.sources.backends import SQLiteBackend
+
+    b = SQLiteBackend(str(tmp_path / "ow.db"))
+    first = spark.range(0, 100, 1, 16).select(
+        F.col("id"), F.col("id").cast("string").alias("v")
+    )
+    writer.insert_into(b, "t", first)
+    second = spark.range(100, 150, 1, 16).select(
+        F.col("id"), F.col("id").cast("string").alias("v")
+    )
+    writer.insert_into(b, "t", second, mode="overwrite", create=False)
+    assert b.query_arrow('SELECT COUNT(*) AS n FROM "t"')[0][0].as_py() == 50
+
+    # :memory: databases can never take the staged path (executors cannot
+    # open the driver's in-memory handle)
+    m = SQLiteBackend(":memory:")
+    wide = spark.range(0, 200, 1, 16).select(
+        F.col("id"), F.col("id").cast("string").alias("v")
+    )
+    writer.insert_into(m, "t", wide)
+    assert m.query_arrow('SELECT COUNT(*) AS n FROM "t"')[0][0].as_py() == 200
