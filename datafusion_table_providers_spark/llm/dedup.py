@@ -199,8 +199,12 @@ def d02b_minhash_lsh_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    # exact verification on candidates only
-    sh = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    # exact verification on candidates only. The shingle table is NOT
+    # checkpointed: it is ~10× corpus size, so re-deriving it per consumer
+    # (scan + explode, CPU-cheap) beats writing it to executor-local disk
+    # once at scale; only the small per-doc signature table above earns a
+    # lineage cut.
+    sh = _shingles_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("x")
@@ -398,7 +402,9 @@ MIN_SHARED = 2
 
 
 def d04_ngram_jaccard(spark, sf_dir):
-    sh = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    # see d02b: the shingle explosion is recomputed per consumer, never
+    # materialized — 10× corpus on executor disk is the wrong trade
+    sh = _shingles_df(spark, sf_dir)
     rare = (
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))

@@ -440,7 +440,12 @@ def _tokens_df(spark, sf_dir):
 
 
 def d21_bm25(spark, sf_dir):
-    tok = _tokens_df(spark, sf_dir).localCheckpoint(eager=True)
+    # NOT checkpointed: the exploded token table is ~10× corpus size, and
+    # its two consumers are both cheap derivations — dl aggregates it, tf
+    # first filters to the 4 query terms. Recomputing from the scan (two
+    # passes over the corpus) beats materializing the explosion to
+    # executor-local disk at any scale.
+    tok = _tokens_df(spark, sf_dir)
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(F.count("*").alias("nd"), F.sum("dl").alias("tt"))
     tf = (

@@ -871,6 +871,20 @@ b26b_event_ops, B26B_SQL = _merged(
     ("b26", b26_event_window, B26_SQL),
     ("b27", b27_sessionize, B27_SQL),
 )
+# round-3 window compaction: pair near-kin capabilities so one driver row
+# certifies both, freeing slots for never-certified families (suite.py)
+b01c_scan_case, B01C_SQL = _merged(
+    ("b01", b01_scan_projection, B01_SQL),
+    ("b04", b04_case_arith_cast, B04_SQL),
+)
+b05c_joins, B05C_SQL = _merged(
+    ("b05", b05_inner_join, B05_SQL),
+    ("b09", b09_theta_join, B09_SQL),
+)
+b10c_aggs, B10C_SQL = _merged(
+    ("b10", b10_agg_q1, B10_SQL),
+    ("b22", b22_agg_minmax, B22_SQL),
+)
 
 
 SUITE = {
@@ -919,4 +933,7 @@ SUITE = {
     "b23c_grouping_sets": QueryCase(b23c_grouping_sets, B23C_SQL, "B23 ROLLUP + CUBE"),
     "b24d_nested": QueryCase(b24d_nested, B24D_SQL, "B24 JSON + explode + array scalars"),
     "b26b_event_ops": QueryCase(b26b_event_ops, B26B_SQL, "event-time window + sessionization"),
+    "b01c_scan_case": QueryCase(b01c_scan_case, B01C_SQL, "B1 scan/projection + B4 CASE/arith/CAST"),
+    "b05c_joins": QueryCase(b05c_joins, B05C_SQL, "B5 inner equi-join + B9 theta join"),
+    "b10c_aggs": QueryCase(b10c_aggs, B10C_SQL, "B10 Q1 aggregates + B22 min/max over join"),
 }

@@ -648,7 +648,36 @@ GROUP BY CAST(c_nationkey % 5 AS INT)
 """
 
 
+from datafusion_table_providers_spark.operators.relational import _merged
+
+# round-3 window rotation: the nine never-driver-certified TPC-H shapes in
+# three merged rows so each gets a green driver row this round (suite.py)
+t13b_qgroup, T13B_SQL = _merged(
+    ("t13", t13_customer_distribution, T13_SQL),
+    ("t15", t15_top_supplier, T15_SQL),
+    ("t16", t16_parts_supplier, T16_SQL),
+)
+t17b_qgroup, T17B_SQL = _merged(
+    ("t17", t17_small_quantity, T17_SQL),
+    ("t18", t18_large_volume, T18_SQL),
+    ("t19", t19_disjunctive_revenue, T19_SQL),
+)
+t20b_qgroup, T20B_SQL = _merged(
+    ("t20", t20_part_promotion, T20_SQL),
+    ("t21", t21_waiting_suppliers, T21_SQL),
+    ("t22", t22_global_sales, T22_SQL),
+)
+
 SUITE = {
+    "t13b_qgroup": QueryCase(
+        t13b_qgroup, T13B_SQL, "TPC-H Q13+Q15+Q16 shapes (merged)"
+    ),
+    "t17b_qgroup": QueryCase(
+        t17b_qgroup, T17B_SQL, "TPC-H Q17+Q18+Q19 shapes (merged)"
+    ),
+    "t20b_qgroup": QueryCase(
+        t20b_qgroup, T20B_SQL, "TPC-H Q20+Q21+Q22 shapes (merged)"
+    ),
     "t02_min_cost_supplier": QueryCase(
         t02_min_cost_supplier, T02_SQL, "TPC-H Q2 shape"
     ),

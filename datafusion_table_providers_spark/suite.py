@@ -91,26 +91,29 @@ PRIORITY_WINDOW = [
     "e08_sketch_bounds",
     # vector compression: int8 scalar + PQ encode + ADC (merged) — 1
     "d16b_vector_compression",
-    # relational surface B1–B24 (+ streaming shapes) — 19
-    "b01_scan_projection",
+    # relational surface B1–B24 (+ streaming shapes) — 16 rows
+    # (r3 compaction: b01+b04→b01c, b05+b09→b05c, b10+b22→b10c keep every
+    # capability certified while freeing 3 slots)
+    "b01c_scan_case",
     "b02b_filters_all",
-    "b04_case_arith_cast",
-    "b05_inner_join",
+    "b05c_joins",
     "b06c_outer_joins",
     "b07c_semi_anti",
     "b08_multi_join_q3",
-    "b09_theta_join",
-    "b10_agg_q1",
+    "b10c_aggs",
     "b11b_distinct_having",
     "b13_scalar_subquery",
     "b14b_windows",
     "b16b_sort_topk",
     "b18d_setops",
     "b19c_scalar_funcs",
-    "b22_agg_minmax",
     "b23c_grouping_sets",
     "b24d_nested",
     "b26b_event_ops",
+    # never-driver-certified TPC-H shapes, 9 queries in 3 merged rows (r3)
+    "t13b_qgroup",
+    "t17b_qgroup",
+    "t20b_qgroup",
 ]
 
 
