@@ -71,6 +71,14 @@ class Dialect:
             fragment.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
         )
 
+    def like_suffix(self) -> str:
+        """The ESCAPE clause naming backslash as the LIKE escape char,
+        rendered through ``literal`` so dialects with backslash-escaped
+        strings (MySQL) emit ``ESCAPE '\\\\'`` — a bare ``ESCAPE '\\'``
+        swallows its own closing quote there (caught by the dialect-lint
+        property test)."""
+        return f" ESCAPE {self.literal(chr(92))}"
+
 
 class DuckDBDialect(Dialect):
     name = "duckdb"
@@ -101,6 +109,15 @@ class MySQLDialect(Dialect):
     quote_char = "`"
 
     def literal(self, value) -> str:
+        # MySQL's default sql_mode treats backslash as a string escape —
+        # it must be doubled or a trailing backslash breaks the literal's
+        # closing quote (the same boundary-break class as ClickHouse)
+        if isinstance(value, str):
+            s = value.replace("\\", "\\\\").replace("'", "''")
+            return f"'{s}'"
+        return self._literal_nonstr(value)
+
+    def _literal_nonstr(self, value) -> str:
         # MySQL's CAST accepts DOUBLE only from 8.0.17 and never DOUBLE
         # PRECISION; an exponent-notation numeric literal IS approximate
         # (double) in MySQL, so emit that instead. repr() is the shortest
@@ -141,6 +158,11 @@ class ClickHouseDialect(Dialect):
         if isinstance(value, bytes):
             return f"unhex('{value.hex()}')"
         return super().literal(value)
+
+    def like_suffix(self) -> str:
+        # ClickHouse LIKE has no ESCAPE clause; backslash is its fixed
+        # escape character already — exactly what like_escape produces
+        return ""
 
 
 class ODBCDialect(Dialect):
@@ -231,15 +253,17 @@ def translate_filters(
             return f"{col(f.attribute)} IS {'NOT ' if negate else ''}NULL"
         if isinstance(f, IsNotNull):
             return f"{col(f.attribute)} IS {'' if negate else 'NOT '}NULL"
+        # LIKE patterns go through dialect.literal so string-escape rules
+        # (MySQL/ClickHouse backslash doubling) apply to the pattern body
         if isinstance(f, StringContains):
-            pat = dialect.like_escape(f.value)
-            return f"{col(f.attribute)} {'NOT ' if negate else ''}LIKE '%{_esc(pat)}%' ESCAPE '\\'"
+            pat = dialect.literal("%" + dialect.like_escape(f.value) + "%")
+            return f"{col(f.attribute)} {'NOT ' if negate else ''}LIKE {pat}{dialect.like_suffix()}"
         if isinstance(f, StringStartsWith):
-            pat = dialect.like_escape(f.value)
-            return f"{col(f.attribute)} {'NOT ' if negate else ''}LIKE '{_esc(pat)}%' ESCAPE '\\'"
+            pat = dialect.literal(dialect.like_escape(f.value) + "%")
+            return f"{col(f.attribute)} {'NOT ' if negate else ''}LIKE {pat}{dialect.like_suffix()}"
         if isinstance(f, StringEndsWith):
-            pat = dialect.like_escape(f.value)
-            return f"{col(f.attribute)} {'NOT ' if negate else ''}LIKE '%{_esc(pat)}' ESCAPE '\\'"
+            pat = dialect.literal("%" + dialect.like_escape(f.value))
+            return f"{col(f.attribute)} {'NOT ' if negate else ''}LIKE {pat}{dialect.like_suffix()}"
         return None
 
     for f in filters:
