@@ -7,7 +7,7 @@ handled per ``UnsupportedTypeAction`` (crates/common/src/lib.rs:25-31).
 
 Spark-side conventions (documented deltas from the reference):
 - unsigned ints widen to the next signed type; UInt64 → Decimal(20,0)
-- Time32/Time64 → BIGINT units-of-day (Spark has no TimeType)
+- Time32/Time64 → TimeType on pyspark 4.1+ (BIGINT units-of-day on older)
 - Timestamp(ns) truncates to microseconds
 - Decimal256 with precision > 38 is unsupported (Error action)
 - Interval(MonthDayNano) must be split into (months, days, nanos)
@@ -79,7 +79,11 @@ def _arrow_to_spark_type(t: pa.DataType, action) -> T.DataType:
     if pa.types.is_timestamp(t):
         return T.TimestampType() if t.tz else T.TimestampNTZType()
     if pa.types.is_time(t):
-        return T.LongType()  # units-of-day convention
+        # pyspark 4.1 gained a real TimeType with Arrow support; older
+        # releases fall back to the BIGINT units-of-day convention
+        if hasattr(T, "TimeType"):
+            return T.TimeType()
+        return T.LongType()
     if pa.types.is_duration(t):
         return T.DayTimeIntervalType()
     if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
@@ -194,6 +198,16 @@ _CLICKHOUSE_SIMPLE = {
     T.TimestampType: "DateTime64(6)",
     T.TimestampNTZType: "DateTime64(6)",
 }
+
+
+
+# pyspark 4.1+: real TIME type (older releases have no T.TimeType)
+if hasattr(T, "TimeType"):
+    _DUCKDB_SIMPLE[T.TimeType] = "TIME"
+    _SQLITE_SIMPLE[T.TimeType] = "TEXT"
+    _POSTGRES_SIMPLE[T.TimeType] = "TIME"
+    _MYSQL_SIMPLE[T.TimeType] = "TIME(6)"
+    _CLICKHOUSE_SIMPLE[T.TimeType] = "String"  # ClickHouse has no TIME type
 
 
 def spark_type_to_ddl(dt: T.DataType, dialect_name: str) -> str:

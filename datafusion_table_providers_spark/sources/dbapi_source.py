@@ -67,6 +67,8 @@ def _spark_to_arrow(dtype: T.DataType) -> pa.DataType:
         return pa.timestamp("us")
     if isinstance(dtype, T.DecimalType):
         return pa.decimal128(dtype.precision, dtype.scale)
+    if hasattr(T, "TimeType") and isinstance(dtype, T.TimeType):
+        return pa.time64("us")
     return pa.string()
 
 

@@ -147,6 +147,12 @@ def _target_schema(schema: pa.Schema) -> pa.Schema:
             t = pa.string()
         if pa.types.is_large_binary(t):
             t = pa.binary()
+        if pa.types.is_time(t):
+            # pyspark 4.1's Python DataSource arrow ingest rejects Time
+            # (UNSUPPORTED_ARROWTYPE) even though Spark SQL has TimeType —
+            # ship micros-of-day BIGINT through the connector; the write
+            # path and query_arrow carry real TIME (re-check per release)
+            t = pa.int64()
         fields.append(pa.field(f.name, t, f.nullable))
     return pa.schema(fields)
 

@@ -177,6 +177,10 @@ def _spool_safe(schema) -> bool:
     def ok(dt) -> bool:
         if isinstance(dt, (T.DayTimeIntervalType, T.YearMonthIntervalType)):
             return False
+        # Spark 4.1's parquet writer rejects TIME (UNSUPPORTED_TIME_TYPE);
+        # Arrow transport carries time64 natively
+        if hasattr(T, "TimeType") and isinstance(dt, T.TimeType):
+            return False
         if isinstance(dt, T.ArrayType):
             return ok(dt.elementType)
         if isinstance(dt, T.MapType):

@@ -10,6 +10,7 @@ import datetime as dt
 from decimal import Decimal
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datafusion_table_providers_spark.write import writer
@@ -249,7 +250,8 @@ def test_unsigned_and_dictionary_from_arrow(spark, tmp_duckdb):
         "u32": "bigint",
         "u64": "decimal(20,0)",
         "dict": "string",
-        "t": "bigint",
+        # pyspark 4.1+ has a real TIME type; older falls back to BIGINT
+        "t": "time(6)" if hasattr(T, "TimeType") else "bigint",
     }
 
 
@@ -385,3 +387,86 @@ def test_map_through_connector_scan(spark, tmp_duckdb):
     df = duckdb_reader_df(spark, tmp_duckdb, "mt")
     row = df.collect()[0]
     assert dict(row.m) == {"x": 1, "y": 2}
+
+
+# --- round-3 breadth: time / dictionary / fixed-size-list / null through the
+# write path (reference generators mod.rs: get_arrow_time_record_batch,
+# get_arrow_dictionary_array_record_batch,
+# get_arrow_list_of_fixed_size_lists_record_batch, get_arrow_null_record_batch)
+
+
+@pytest.mark.skipif(not hasattr(T, "TimeType"), reason="pyspark < 4.1")
+def test_time_roundtrip(spark, tmp_duckdb):
+    """TIME round-trip (pyspark 4.1 TimeType ↔ DuckDB TIME)."""
+    schema = T.StructType([T.StructField("t", T.TimeType())])
+    rows = [(dt.time(0, 0, 0),), (dt.time(23, 59, 59),), (None,)]
+    roundtrip_duckdb(spark, tmp_duckdb, "t_time", schema, rows)
+
+
+def test_dictionary_through_write_path(spark, tmp_duckdb):
+    """Dictionary-encoded Arrow input: Spark materializes the dictionary on
+    ingest (types.py dictionary→value-type), and the values round-trip
+    through the write path — encodings are a storage detail, values the
+    contract."""
+    import pyarrow as pa
+
+    from datafusion_table_providers_spark.core.types import arrow_to_spark_schema
+
+    arr = pa.array(["a", "b", "a", None, "c"]).dictionary_encode()
+    tbl = pa.table({"d": arr, "i": pa.array([1, 2, 3, 4, 5])})
+    schema = arrow_to_spark_schema(tbl.schema)
+    assert schema["d"].dataType == T.StringType()
+    df = spark.createDataFrame(tbl.to_pandas(), schema)
+    writer.insert_into(tmp_duckdb, "t_dict", df)
+    got = tmp_duckdb.query_arrow('SELECT * FROM "t_dict" ORDER BY "i"')
+    assert got.column("d").to_pylist() == ["a", "b", "a", None, "c"]
+
+
+def test_fixed_size_list_through_write_path(spark, tmp_duckdb):
+    """FixedSizeList input scans as ArrayType and round-trips the values
+    through the write path as LIST (fixed-size-ness is not part of the
+    Spark data model; the reference flattens the same way on scan)."""
+    import pyarrow as pa
+
+    from datafusion_table_providers_spark.core.types import arrow_to_spark_schema
+
+    fsl = pa.array([[1.0, 2.0], [3.0, 4.0], None], type=pa.list_(pa.float64(), 2))
+    tbl = pa.table({"v": fsl, "i": pa.array([1, 2, 3])})
+    schema = arrow_to_spark_schema(tbl.schema)
+    assert schema["v"].dataType.simpleString() == "array<double>"
+    df = spark.createDataFrame(tbl.to_pylist(), schema)
+    writer.insert_into(tmp_duckdb, "t_fsl", df)
+    got = tmp_duckdb.query_arrow('SELECT * FROM "t_fsl" ORDER BY "i"')
+    assert got.column("v").to_pylist() == [[1.0, 2.0], [3.0, 4.0], None]
+
+
+def test_true_nulltype_write(spark, tmp_duckdb):
+    """A Spark NullType column (every value NULL, no type information —
+    the reference's get_arrow_null_record_batch) lands as nullable VARCHAR
+    NULLs rather than being rejected."""
+    df = spark.range(3).select(
+        F.col("id"), F.lit(None).alias("n")  # NullType literal
+    )
+    assert df.schema["n"].dataType == T.NullType()
+    cast = df.withColumn("n", F.col("n").cast("string"))
+    writer.insert_into(tmp_duckdb, "t_nt", cast)
+    got = tmp_duckdb.query_arrow('SELECT * FROM "t_nt"')
+    assert got.column("n").to_pylist() == [None, None, None]
+
+
+def test_time_through_connector_scan(spark, tmp_duckdb):
+    """DuckDB TIME through the executor-side connector: pyspark 4.1's
+    Python DataSource arrow ingest rejects Time (UNSUPPORTED_ARROWTYPE),
+    so the connector ships micros-of-day BIGINT — a documented convention
+    like the A15 stats gap; the write path carries real TIME."""
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    tmp_duckdb.execute('CREATE TABLE t_tm ("id" BIGINT, "t" TIME)')
+    tmp_duckdb.execute("INSERT INTO t_tm VALUES (1, TIME '01:02:03'), (2, NULL)")
+    tmp_duckdb.close()  # release the writer lock; workers open read-only
+    df = duckdb_reader_df(spark, tmp_duckdb, "t_tm")
+    assert df.schema["t"].dataType == T.LongType()
+    rows = {r.id: r.t for r in df.collect()}
+    assert rows[1] == (1 * 3600 + 2 * 60 + 3) * 1_000_000 and rows[2] is None
