@@ -246,6 +246,56 @@ def register(spark: SparkSession) -> None:
         _REGISTERED.add(id(spark))
 
 
+def postgres_declared_schema(
+    con,
+    table_name: str,
+    table_schema: str = "public",
+    action=None,
+):
+    """Introspect ``information_schema.columns`` over a live DB-API
+    connection and map the declared Postgres types through the reference's
+    type matrix (core.pg_types ← schema.rs:45-130). Pass the result's
+    ``simpleString()``-style DDL into ``dbapi_reader_df(schema_ddl=…)`` so a
+    Postgres scan declares real types instead of sampling a row.
+
+    Works against any engine exposing information_schema with
+    Postgres-compatible type spellings (DuckDB included — how this is
+    tested serverlessly).
+    """
+    from datafusion_table_providers_spark.core.pg_types import (
+        schema_from_information_schema,
+    )
+    from datafusion_table_providers_spark.core.types import (
+        UnsupportedTypeAction,
+    )
+
+    cur = con.cursor()
+    q = (
+        "SELECT column_name, data_type, udt_name, numeric_precision, "
+        "numeric_scale, is_nullable FROM information_schema.columns "
+        "WHERE table_name = {m} AND table_schema = {m} "
+        "ORDER BY ordinal_position"
+    )
+    try:  # qmark modules (duckdb, sqlite3, pyodbc)
+        cur.execute(q.format(m="?"), (table_name, table_schema))
+    except Exception:  # format/pyformat modules (psycopg, MySQLdb)
+        cur.execute(q.format(m="%s"), (table_name, table_schema))
+    rows = [
+        {
+            "column_name": r[0],
+            "data_type": (r[1] or r[2] or "").lower(),
+            "udt_name": r[2],
+            "numeric_precision": r[3],
+            "numeric_scale": r[4],
+            "is_nullable": r[5],
+        }
+        for r in cur.fetchall()
+    ]
+    return schema_from_information_schema(
+        rows, action or UnsupportedTypeAction.ERROR
+    )
+
+
 def dbapi_reader_df(
     spark: SparkSession,
     module: str,
