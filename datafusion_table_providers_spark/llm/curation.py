@@ -206,6 +206,127 @@ FROM binned GROUP BY source, bin_id
 """
 
 
+# --- d24: PII scrubbing (emails / IPv4) -----------------------------------
+# The redaction pass every public-web training corpus runs before release.
+# Pure regexp_count/regexp_replace projections — single scan, zero shuffle,
+# zero UDF, embarrassingly parallel at any corpus size. Patterns are chosen
+# to evaluate identically under Java regex (Spark) and RE2 (DuckDB).
+# Synthetic corpus carries no PII, so a deterministic doc_id-derived
+# email+IP is appended first — the scrub then provably finds and removes it
+# (n_email/n_ip ≥ 1 per doc and the clean text hashes match cross-engine).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IP_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+def d24_pii_scrub(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    withp = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("t"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace("t", EMAIL_RE, "[EMAIL]"), IP_RE, "[IP]"
+    )
+    return withp.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(EMAIL_RE)).cast("int").alias("n_email"),
+        F.regexp_count("t", F.lit(IP_RE)).cast("int").alias("n_ip"),
+        F.length(scrub).cast("int").alias("clean_len"),
+        F.substring(F.md5(scrub), 1, 8).alias("clean_hash"),
+    )
+
+
+D24_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.'
+              || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{IP_RE}', '[IP]', 'g') AS c
+  FROM p
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(t, '{IP_RE}')) AS INTEGER) AS n_ip,
+       CAST(LENGTH(c) AS INTEGER) AS clean_len,
+       SUBSTR(md5(c), 1, 8) AS clean_hash
+FROM s
+"""
+
+
+# --- d25: paragraph/fragment-level exact dedup (C4-style) -----------------
+# Fragment-granular exact dedup — the C4/mC4 "repeated three-sentence"
+# pass. The driver corpus has no sentence delimiters, so the fragment unit
+# is a fixed 8-word window (the standard fallback for unsegmented text;
+# swapping the splitter back to sentences is a one-line change). One
+# explode + one hash groupBy keyed on the fragment hash — the only shuffle
+# partitions by md5 (uniform by construction, no skew). Output is the
+# duplicated-fragment table a removal join would then broadcast (dup
+# fragments are a tiny fraction of the corpus at scale).
+PARA_W = 8  # words per fragment window
+
+
+def d25_paragraph_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    idx = F.when(
+        n >= PARA_W, F.sequence(F.lit(1), n - (PARA_W - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    frags = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, PARA_W))
+    )
+    paras = d.select("doc_id", F.explode(frags).alias("p"))
+    return (
+        paras.groupBy(F.md5("p").alias("para_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+
+
+D25_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+paras AS (
+  SELECT doc_id, array_to_string(ws[i:i + {PARA_W - 1}], ' ') AS p
+  FROM w, UNNEST(range(1, GREATEST(len(ws) - {PARA_W - 2}, 1))) AS u(i)
+)
+SELECT md5(p) AS para_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occ,
+       MIN(doc_id) AS first_doc
+FROM paras GROUP BY md5(p)
+HAVING COUNT(*) >= 2
+"""
+
+
+from datafusion_table_providers_spark.operators.relational import _merged
+
+# window row: decontamination + PII scrub + paragraph dedup in one slot
+d13b_curation_scrub, D13B_SQL = _merged(
+    ("d13", d13_decontaminate, D13_SQL),
+    ("d24", d24_pii_scrub, D24_SQL),
+    ("d25", d25_paragraph_dedup, D25_SQL),
+)
+
 SUITE = {
     "d13_decontaminate": QueryCase(
         d13_decontaminate, D13_SQL, "eval-set n-gram decontamination"
@@ -215,5 +336,16 @@ SUITE = {
     ),
     "d15_sequence_packing": QueryCase(
         d15_sequence_packing, D15_SQL, "token-budget sequence packing"
+    ),
+    "d24_pii_scrub": QueryCase(
+        d24_pii_scrub, D24_SQL, "PII scrubbing (email/IP redaction)"
+    ),
+    "d25_paragraph_dedup": QueryCase(
+        d25_paragraph_dedup, D25_SQL, "C4-style paragraph-level exact dedup"
+    ),
+    "d13b_curation_scrub": QueryCase(
+        d13b_curation_scrub,
+        D13B_SQL,
+        "decontamination + PII scrub + paragraph dedup (merged)",
     ),
 }

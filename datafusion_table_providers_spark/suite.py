@@ -76,8 +76,9 @@ PRIORITY_WINDOW = [
     "d08_quality",
     "d09c_text_search",
     "d10b_fingerprint_repetition",
-    # curation: decontamination / sampling / packing — 3
-    "d13_decontaminate",
+    # curation: decontamination+PII-scrub+paragraph-dedup / sampling /
+    # packing — 3 rows, 5 ops (d13b merges d13+d24+d25, r3)
+    "d13b_curation_scrub",
     "d14_stratified_sample",
     "d15_sequence_packing",
     # multimodal (meta/frames/resize/features in 2 merged rows) + pipeline — 3
