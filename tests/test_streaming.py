@@ -80,3 +80,44 @@ def test_stream_to_backend_sink_idempotent(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = be.query_arrow('SELECT COUNT(*) AS n FROM "events_sink"')[0][0].as_py()
     assert got2 == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Stream-stream interval join drains to the same pairs the identical
+    batch join produces (append mode; watermarks bound state)."""
+    from datafusion_table_providers_spark.operators.relational import _t
+    from datafusion_table_providers_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    joined = stream_stream_interval_join(
+        event_stream(spark, SF), event_stream(spark, SF)
+    )
+    assert joined.isStreaming
+    got = run_available_now(joined, "ss_join", output_mode="append")
+    batch_e = _t(spark, SF, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    l, r = batch_e.alias("l"), batch_e.alias("r")
+    want = l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    assert got.count() == want.count() > 0
+
+
+def test_stream_static_enrich_no_state(spark):
+    from datafusion_table_providers_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    dim = spark.range(0, 10000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("segment")
+    )
+    enriched = stream_static_enrich(event_stream(spark, SF), dim)
+    out = run_available_now(enriched, "enrich", output_mode="append")
+    n_events = out.sparkSession.read.parquet(f"{SF}/events.parquet").count()
+    assert out.count() == n_events  # left join keeps every event
+    assert out.filter(F.col("segment").isNotNull()).count() > 0
