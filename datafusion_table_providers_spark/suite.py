@@ -54,7 +54,7 @@ for _mod, _attr in [
 PRIORITY_WINDOW = [
     # connector family (§2.A scan/pushdown/federation/write) — 8
     "c01_duckdb_scan_pushdown",
-    "c02_duckdb_partitioned_scan",
+    "c02b_partitioned_scans",
     "c03_federation_pushdown",
     "c04_duckdb_write_roundtrip",
     "c05b_upsert_dml",
