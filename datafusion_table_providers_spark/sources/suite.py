@@ -443,6 +443,54 @@ SUITE["c05b_upsert_dml"] = QueryCase(
     c05b_upsert_dml, C05B_SQL, "A18 upsert + A19/A20 DELETE/UPDATE (merged)"
 )
 
+# --- C11: catalog provider (A26) — views across native + connector -------
+# DatabaseSchemaProvider analog (crates/common/src/common.rs:18-95): a
+# parquet-native table and a connector-backed table registered through the
+# Catalog resolve in ONE spark.sql statement. Certifies registration,
+# view resolution, and the connector scan under a SQL join driver-side.
+def c11_catalog_views(spark, sf_dir):
+    utc(spark)
+    from datafusion_table_providers_spark.catalog import Catalog
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    cat = Catalog(spark)
+    cat.register_parquet("cat_orders", _pq(sf_dir, "orders"))
+    backend = _duckdb_parquet_backend(sf_dir)
+    cdf = duckdb_reader_df(
+        spark, backend, "customer", columns=["c_custkey", "c_mktsegment"]
+    )
+    cat.register_connector_table(
+        "cat_customer", cdf, backend.compute_context(), "customer"
+    )
+    assert set(cat.tables()) >= {"cat_orders", "cat_customer"}
+    # NB: Spark SQL parses bare `100.0` as DECIMAL (DataFrame F.lit(100.0)
+    # is DOUBLE), so the rounding formula spells its literals as explicit
+    # DOUBLE casts to keep the whole expression in IEEE doubles like the
+    # oracle's
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n,
+               FLOOR(SUM(o_totalprice) * CAST(100 AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) / CAST(100 AS DOUBLE) AS total
+        FROM cat_orders JOIN cat_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+C11_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n, {_rsql('SUM(o_totalprice)', 2)} AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+SUITE["c11_catalog_views"] = QueryCase(
+    c11_catalog_views, C11_SQL, "A26 catalog views: native + connector join"
+)
+
 SUITE["c10_flight_scan"] = QueryCase(
     c10_flight_scan, C10_SQL, "A14 Flight multi-endpoint scan (in-process gRPC)"
 )
@@ -454,4 +502,14 @@ SUITE["c02b_partitioned_scans"] = QueryCase(
     c02b_partitioned_scans,
     C02B_SQL,
     "partitioned scans: DuckDB range slices + Flight endpoints (merged)",
+)
+
+c03b_federation_catalog, C03B_SQL = _merged(
+    ("c03", c03_federation_pushdown, C03_SQL),
+    ("c11", c11_catalog_views, C11_SQL),
+)
+SUITE["c03b_federation_catalog"] = QueryCase(
+    c03b_federation_catalog,
+    C03B_SQL,
+    "A7 federation + A26 catalog views (merged)",
 )

@@ -55,7 +55,7 @@ PRIORITY_WINDOW = [
     # connector family (§2.A scan/pushdown/federation/write) — 8
     "c01_duckdb_scan_pushdown",
     "c02b_partitioned_scans",
-    "c03_federation_pushdown",
+    "c03b_federation_catalog",
     "c04_duckdb_write_roundtrip",
     "c05b_upsert_dml",
     "c07_sqlite_roundtrip",
