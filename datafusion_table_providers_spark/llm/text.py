@@ -486,6 +486,11 @@ def d21_bm25(spark, sf_dir):
     top = tot.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOPK)
     from pyspark.sql import Window as _W
 
+    # The unpartitioned window below runs AFTER the TakeOrdered limit, so
+    # WindowExec's single partition holds exactly BM25_TOPK (=15) rows —
+    # the "No Partition Defined" WARN it triggers is bounded by K, never
+    # by corpus size. The corpus-wide ordering work happens in the
+    # TakeOrderedAndProject above (per-partition top-K + K-row merge).
     w = _W.orderBy(F.col("score").desc(), "doc_id")
     return top.select(
         F.row_number().over(w).alias("rnk"),
