@@ -62,3 +62,26 @@ def test_rank_frame_stripped_only_for_rank():
     out = strip_rank_frames(sql)
     assert "RANK() OVER (PARTITION BY a ORDER BY b)" in out
     assert "SUM(x) OVER (ORDER BY b ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)" in out
+
+
+def test_rewritten_sql_passes_dialect_lint():
+    """A8/A9 rewrite outputs obey the target dialect's lexical rules
+    (core.dialect_lint) — ties the rewrite layer to the same no-server
+    grammar gate the filter/DDL generators go through."""
+    from datafusion_table_providers_spark.core.dialect_lint import lint_sql
+    from datafusion_table_providers_spark.core.dialect_rewrites import (
+        OrderItem,
+        render_interval_add,
+        render_order_item,
+    )
+    from datafusion_table_providers_spark.core.expr import DIALECTS
+
+    for name in ("mysql", "sqlite", "postgres", "duckdb"):
+        d = DIALECTS[name]
+        frag = render_order_item(
+            OrderItem(d.quote_ident("col"), ascending=False, nulls_first=True),
+            d,
+        )
+        lint_sql(f"SELECT 1 ORDER BY {frag}", name)
+        expr = render_interval_add(d.quote_ident("ts"), 3, "days", d)
+        lint_sql(f"SELECT {expr}", name)
