@@ -119,10 +119,13 @@ def lint_sql(sql: str, dialect: str) -> None:
                 f"keyword temporal literal in clickhouse: {sql!r}"
             )
     if dialect == "sqlite":
-        # SQLite has no TRUE/FALSE keywords before 3.23; we target modern
-        # sqlite3 so allow them, but NaN/Infinity casts are never valid
-        if re.search(r"AS\s+DOUBLE\s+PRECISION\s*\)\s*", code) and "''" not in code:
-            pass  # CAST('...' AS DOUBLE PRECISION) carries its value in the string
+        # '::' cast syntax is Postgres/DuckDB grammar, not SQLite
+        if "::" in code:
+            raise DialectLintError(f"'::' cast operator in sqlite SQL: {sql!r}")
+        # ILIKE is not an SQLite operator (its LIKE is already
+        # ASCII-case-insensitive); the generator must lower to LIKE
+        if re.search(r"(?<!\w)ILIKE(?!\w)", code, re.IGNORECASE):
+            raise DialectLintError(f"ILIKE operator in sqlite SQL: {sql!r}")
 
     # parenthesis balance (cheap structural sanity)
     depth = 0

@@ -112,6 +112,12 @@ def pg_type_to_spark(
         scale = int(m.group(2)) if m.group(2) is not None else 0
         if precision > 38:
             return _unsupported(pg_type, action)
+        if scale < 0 or scale > precision:
+            # numeric(5,-2) is legal Postgres (reference Decimal128 allows an
+            # i8 scale) but Spark's DecimalType rejects it at analysis time
+            # with an opaque error; route through the UnsupportedTypeAction
+            # contract instead.
+            return _unsupported(pg_type, action)
         return T.DecimalType(precision, scale)
     if base in ("time", "time without time zone"):
         return _time_type()
@@ -202,6 +208,15 @@ def schema_from_information_schema(
     for r in rows:
         name = r["column_name"]
         pg_type = r.get("data_type") or r.get("udt_name")
+        # Real Postgres reports arrays as data_type='ARRAY' (element type only
+        # in udt_name, e.g. '_int4') and enums/domains as 'USER-DEFINED'; the
+        # udt_name spelling is the resolvable one in both cases.
+        if (
+            pg_type
+            and pg_type.strip().lower() in ("array", "user-defined")
+            and r.get("udt_name")
+        ):
+            pg_type = r["udt_name"]
         if (
             pg_type in ("numeric", "decimal")
             and r.get("numeric_precision") is not None

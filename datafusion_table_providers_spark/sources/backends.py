@@ -75,7 +75,12 @@ class DuckDBBackend(Backend):
         self.parquet_tables = dict(parquet_tables or {})
         self.attach = tuple(attach)
         self.dialect = DIALECTS["duckdb"]
-        self._lock = threading.Lock()
+        # RLock: query_arrow_batches holds the lock across its yields (an
+        # interleaved execute() on the same DuckDB connection invalidates the
+        # open streaming result, so per-chunk locking is NOT safe here); the
+        # reentrant lock at least lets the same thread call other backend
+        # methods mid-iteration without deadlocking itself.
+        self._lock = threading.RLock()
         self._con = None
 
     def _connect(self):
@@ -196,33 +201,65 @@ class SQLiteBackend(Backend):
         materialization.
 
         SQLite has no static result types, so Arrow types are inferred from
-        the FIRST chunk; later chunks are built against that schema. A
-        column whose type genuinely changes mid-stream (legal under
-        SQLite's dynamic typing) fails loudly — CAST it in the SQL.
+        observed values. Chunks are buffered (not yielded) only until every
+        column has produced at least one non-NULL value, so a column that is
+        all-NULL in the leading chunks (NULLS-FIRST sort, sparse column) is
+        typed from the first chunk that carries a value instead of freezing
+        at ``pa.null()`` and failing on the next chunk. A column NULL for
+        the entire result stays ``pa.null()``; in that worst case buffering
+        degrades to full materialization — exactly ``query_arrow``'s
+        footprint, so never a regression. A column whose concrete type
+        genuinely changes mid-stream (legal under SQLite's dynamic typing)
+        still fails loudly — CAST it in the SQL.
+
+        The backend lock is held per ``fetchmany`` call, not across yields,
+        so a consumer that calls other locked methods while iterating (or
+        abandons the generator) cannot deadlock or wedge the backend.
         """
         with self._lock:
             cur = self._connect().execute(sql)
             cols = [d[0] for d in cur.description]
-            schema = None
-            while True:
+        types: list = [None] * len(cols)
+        pending: list = []
+        schema = None
+
+        def _build(columns, schema):
+            arrays = [
+                pa.array(c, type=f.type) for c, f in zip(columns, schema)
+            ]
+            return pa.record_batch(arrays, schema=schema)
+
+        while True:
+            with self._lock:
                 rows = cur.fetchmany(batch_size)
-                if not rows:
-                    return
-                columns = list(zip(*rows))
-                if schema is None:
-                    arrays = [pa.array(list(c)) for c in columns]
+            if not rows:
+                break
+            columns = [list(c) for c in zip(*rows)]
+            if schema is None:
+                for i, c in enumerate(columns):
+                    if types[i] is None:
+                        t = pa.array(c).type
+                        if not pa.types.is_null(t):
+                            types[i] = t
+                pending.append(columns)
+                if all(t is not None for t in types):
                     schema = pa.schema(
-                        [
-                            pa.field(n, a.type)
-                            for n, a in zip(cols, arrays)
-                        ]
+                        [pa.field(n, t) for n, t in zip(cols, types)]
                     )
-                else:
-                    arrays = [
-                        pa.array(list(c), type=f.type)
-                        for c, f in zip(columns, schema)
-                    ]
-                yield pa.record_batch(arrays, schema=schema)
+                    for p in pending:
+                        yield _build(p, schema)
+                    pending = []
+            else:
+                yield _build(columns, schema)
+        if schema is None and pending:
+            schema = pa.schema(
+                [
+                    pa.field(n, t if t is not None else pa.null())
+                    for n, t in zip(cols, types)
+                ]
+            )
+            for p in pending:
+                yield _build(p, schema)
 
     def execute(self, sql: str, params: Optional[Iterable] = None) -> int:
         with self._lock:

@@ -368,3 +368,54 @@ def test_auto_partition_from_row_stats(spark, tmp_path):
     df = duckdb_reader_df(spark, b, "t", partition_column="id", num_partitions=None)
     assert df.rdd.getNumPartitions() == 1
     assert df.count() == 100
+
+
+def test_sqlite_arrow_batches_all_null_first_chunk(tmp_path):
+    """r3 ADVICE: a column all-NULL through the entire first chunk (e.g.
+    NULLS-FIRST sort) must not freeze the schema at pa.null() and blow up
+    on the next chunk; it types from the first value-bearing chunk."""
+    import pyarrow as pa
+
+    from datafusion_table_providers_spark.sources.backends import SQLiteBackend
+
+    b = SQLiteBackend(str(tmp_path / "nulls.db"))
+    b.execute("CREATE TABLE t (id INTEGER, s TEXT)")
+    b.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(i, None if i < 300 else f"s{i}") for i in range(1000)],
+    )
+    batches = list(
+        b.query_arrow_batches("SELECT id, s FROM t ORDER BY id", batch_size=128)
+    )
+    assert sum(bt.num_rows for bt in batches) == 1000
+    assert all(bt.schema == batches[0].schema for bt in batches)
+    assert batches[0].schema.field("s").type == pa.string()
+    # a column NULL for the whole result stays null-typed (degrades to
+    # full buffering, same footprint as query_arrow — not a crash)
+    b.execute("CREATE TABLE allnull (id INTEGER, z TEXT)")
+    b.executemany(
+        "INSERT INTO allnull VALUES (?, NULL)", [(i,) for i in range(300)]
+    )
+    nb = list(b.query_arrow_batches("SELECT id, z FROM allnull", batch_size=128))
+    assert sum(bt.num_rows for bt in nb) == 300
+    assert nb[0].schema.field("z").type == pa.null()
+
+
+def test_sqlite_arrow_batches_lock_released_between_yields(tmp_path):
+    """r3 ADVICE: the backend lock is held per-fetch, so calling another
+    locked method mid-iteration must not deadlock."""
+    from datafusion_table_providers_spark.sources.backends import SQLiteBackend
+
+    b = SQLiteBackend(str(tmp_path / "locky.db"))
+    b.execute("CREATE TABLE t (id INTEGER)")
+    b.executemany("INSERT INTO t VALUES (?)", [(i,) for i in range(500)])
+    seen = 0
+    for bt in b.query_arrow_batches("SELECT id FROM t", batch_size=100):
+        seen += bt.num_rows
+        assert "t" in b.table_names()  # locked call while iterating
+    assert seen == 500
+    # abandoning the generator must not wedge the backend
+    gen = b.query_arrow_batches("SELECT id FROM t", batch_size=100)
+    next(gen)
+    gen.close()
+    assert b.query_arrow("SELECT count(*) AS n FROM t").column("n")[0].as_py() == 500

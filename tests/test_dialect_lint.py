@@ -177,3 +177,14 @@ def test_linter_catches_known_bug_classes():
     # ANSI '' doubling must NOT trip the unterminated-string check
     strip_strings("SELECT 'it''s fine'", "postgres")
     lint_sql("SELECT 'nan inside a string is fine'", "postgres")
+
+
+def test_sqlite_lexical_rules():
+    # '::' cast syntax is Postgres/DuckDB grammar, not SQLite
+    with pytest.raises(DialectLintError):
+        lint_sql("SELECT x::REAL FROM t", "sqlite")
+    # ILIKE is not an SQLite operator
+    with pytest.raises(DialectLintError):
+        lint_sql("SELECT * FROM t WHERE s ILIKE 'a%'", "sqlite")
+    # '::' inside a string literal is fine
+    lint_sql("SELECT 'a::b' FROM t", "sqlite")

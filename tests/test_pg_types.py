@@ -190,3 +190,31 @@ def test_postgres_declared_schema_over_dbapi():
     assert s["price"].dataType == T.DecimalType(12, 2)
     assert s["tags"].dataType == T.ArrayType(T.IntegerType(), True)
     assert s["ts"].dataType == T.TimestampNTZType()
+
+
+def test_real_pg_array_and_user_defined_spellings():
+    """Real Postgres information_schema reports arrays as
+    data_type='ARRAY' (element type only in udt_name, e.g. '_int4') and
+    enums/domains as 'USER-DEFINED' — the r3 ADVICE repro."""
+    rows = [
+        {"column_name": "xs", "data_type": "ARRAY", "udt_name": "_int4"},
+        {"column_name": "mood", "data_type": "USER-DEFINED", "udt_name": "my_enum"},
+    ]
+    s = schema_from_information_schema(rows, UnsupportedTypeAction.STRING)
+    assert s["xs"].dataType == T.ArrayType(T.IntegerType(), True)
+    assert s["mood"].dataType == T.StringType()  # unresolvable UDT -> action
+    # under ERROR the array column still resolves (no TypeError)
+    s2 = schema_from_information_schema(
+        [{"column_name": "xs", "data_type": "ARRAY", "udt_name": "_text"}]
+    )
+    assert s2["xs"].dataType == T.ArrayType(T.StringType(), True)
+
+
+def test_negative_or_oversized_scale_follows_action():
+    """numeric(5,-2) is legal Postgres but Spark rejects DecimalType(5,-2)
+    at analysis time; route through the UnsupportedTypeAction contract."""
+    with pytest.raises(TypeError):
+        pg_type_to_spark("numeric(5,-2)")
+    assert pg_type_to_spark("numeric(5,-2)", UnsupportedTypeAction.IGNORE) is None
+    with pytest.raises(TypeError):
+        pg_type_to_spark("numeric(3,7)")  # scale > precision
