@@ -416,6 +416,12 @@ e03b_distributions, E03B_SQL = _merged(
     ("e06", e06_histogram, E06_SQL),
     ("e09", e09_rollup_cascade, E09_SQL),
 )
+# r4: e07's salted two-phase aggregation (green in r1 solo, never since)
+# rides the e04 stats row so both hold a current driver certification
+e04b_stats_salted, E04B_SQL = _merged(
+    ("e04", e04_stats, E04_SQL),
+    ("e07", e07_salted_agg, E07_SQL),
+)
 
 SUITE = {
     "e01_asof_join": QueryCase(e01_asof_join, E01_SQL, "as-of join via window"),
@@ -439,5 +445,10 @@ SUITE = {
         e03b_distributions,
         E03B_SQL,
         "percentiles + histogram + rollup cascade",
+    ),
+    "e04b_stats_salted": QueryCase(
+        e04b_stats_salted,
+        E04B_SQL,
+        "stats aggregates + salted two-phase aggregation (merged)",
     ),
 }

@@ -668,7 +668,55 @@ t20b_qgroup, T20B_SQL = _merged(
     ("t22", t22_global_sales, T22_SQL),
 )
 
+# round-4 window rotation: the remaining TPC-H shapes (green in r1 under
+# their solo names, never since) re-certified via four merged qgroup rows so
+# every t-family holds a current driver row (suite.py PRIORITY_WINDOW).
+from datafusion_table_providers_spark.operators.tpch import (
+    T04_SQL,
+    T05_SQL,
+    T06_SQL,
+    T12_SQL,
+    T14_SQL,
+    t04_order_priority,
+    t05_local_supplier,
+    t06_forecast_revenue,
+    t12_priority_classes,
+    t14_promo_effect,
+)
+
+t04b_qgroup, T04B_SQL = _merged(
+    ("t02", t02_min_cost_supplier, T02_SQL),
+    ("t04", t04_order_priority, T04_SQL),
+    ("t05", t05_local_supplier, T05_SQL),
+)
+t06b_qgroup, T06B_SQL = _merged(
+    ("t06", t06_forecast_revenue, T06_SQL),
+    ("t12", t12_priority_classes, T12_SQL),
+    ("t14", t14_promo_effect, T14_SQL),
+)
+t08b_qgroup, T08B_SQL = _merged(
+    ("t07", t07_volume_shipping, T07_SQL),
+    ("t08", t08_market_share, T08_SQL),
+    ("t09", t09_product_profit, T09_SQL),
+)
+t10b_qgroup, T10B_SQL = _merged(
+    ("t10", t10_returned_items, T10_SQL),
+    ("t11", t11_important_stock, T11_SQL),
+)
+
 SUITE = {
+    "t04b_qgroup": QueryCase(
+        t04b_qgroup, T04B_SQL, "TPC-H Q2+Q4+Q5 shapes (merged)"
+    ),
+    "t06b_qgroup": QueryCase(
+        t06b_qgroup, T06B_SQL, "TPC-H Q6+Q12+Q14 shapes (merged)"
+    ),
+    "t08b_qgroup": QueryCase(
+        t08b_qgroup, T08B_SQL, "TPC-H Q7+Q8+Q9 shapes (merged)"
+    ),
+    "t10b_qgroup": QueryCase(
+        t10b_qgroup, T10B_SQL, "TPC-H Q10+Q11 shapes (merged)"
+    ),
     "t13b_qgroup": QueryCase(
         t13b_qgroup, T13B_SQL, "TPC-H Q13+Q15+Q16 shapes (merged)"
     ),

@@ -51,8 +51,15 @@ for _mod, _attr in [
         BROKEN_SUITES.append((_mod, f"{type(_e).__name__}: {_e}"))
 
 #: The 50 entries the driver's correctness gate will check, in order.
+#: Round-4 rotation: the r3-certified t13b/t17b/t20b qgroups and five
+#: twice-certified b-singletons (b02b, b08, b13, b18d, b19c — green r2+r3,
+#: several also r1) rotate out; in come the remaining TPC-H shapes as four
+#: qgroups (t02/t04-t12/t14 — green r1 solo, never since), the ADBC
+#: Arrow-native scan (c12), the Structured-Streaming-vs-batch-oracle row
+#: (b28), the IVF-ANN and full-curation solo rows, and e07 riding the e04
+#: stats row. Rotated-out entries stay registered + strict-local verified.
 PRIORITY_WINDOW = [
-    # connector family (§2.A scan/pushdown/federation/write) — 8
+    # connector family (§2.A scan/pushdown/federation/write) — 9
     "c01_duckdb_scan_pushdown",
     "c02b_partitioned_scans",
     "c03b_federation_catalog",
@@ -61,6 +68,7 @@ PRIORITY_WINDOW = [
     "c07_sqlite_roundtrip",
     "c08_duckdb_overwrite",
     "c09_dbapi_scan",
+    "c12_adbc_scan",
     # dedup — one per method + components — 6
     "d01_exact_dedup",
     "d02b_minhash_lsh_pairs",
@@ -68,8 +76,9 @@ PRIORITY_WINDOW = [
     "d04b_ngram_editdist",
     "d11b_neardup_multiprobe",
     "d12_dedup_components",
-    # similarity search + clustering — 2
+    # similarity search + clustering — 3
     "d05b_knn_lsh",
+    "d06b_ivf_ann",
     "d17b_cluster_semdedup",
     # text analysis + search — 4
     "d07_langid",
@@ -81,40 +90,38 @@ PRIORITY_WINDOW = [
     "d13b_curation_scrub",
     "d14_stratified_sample",
     "d15_sequence_packing",
-    # multimodal (meta/frames/resize/features in 2 merged rows) + pipeline — 3
+    # multimodal (meta/frames/resize/features in 2 merged rows) +
+    # pipelines (incl. the p02 capstone solo row) — 4
     "m01b_meta_frames",
     "m03b_resize_features",
     "p01b_pipelines",
-    # extension operators — 5 entries / 7 ops (e01+e02, e03+e06 merged)
+    "p02_full_curation",
+    # extension operators — 4 entries / 8 ops (e01+e02, e03+e06+e09,
+    # e04+e07 merged)
     "e01b_interval_joins",
     "e03b_distributions",
-    "e04_stats",
+    "e04b_stats_salted",
     "e08_sketch_bounds",
     # vector compression: int8 scalar + PQ encode + ADC (merged) — 1
     "d16b_vector_compression",
-    # relational surface B1–B24 (+ streaming shapes) — 16 rows
-    # (r3 compaction: b01+b04→b01c, b05+b09→b05c, b10+b22→b10c keep every
-    # capability certified while freeing 3 slots)
+    # relational surface (merged-coverage rows) + streaming parity — 12
     "b01c_scan_case",
-    "b02b_filters_all",
     "b05c_joins",
     "b06c_outer_joins",
     "b07c_semi_anti",
-    "b08_multi_join_q3",
     "b10c_aggs",
     "b11b_distinct_having",
-    "b13_scalar_subquery",
     "b14b_windows",
     "b16b_sort_topk",
-    "b18d_setops",
-    "b19c_scalar_funcs",
     "b23c_grouping_sets",
     "b24d_nested",
     "b26b_event_ops",
-    # never-driver-certified TPC-H shapes, 9 queries in 3 merged rows (r3)
-    "t13b_qgroup",
-    "t17b_qgroup",
-    "t20b_qgroup",
+    "b28_stream_batch_parity",
+    # TPC-H shapes never certified since r1, 11 queries in 4 merged rows
+    "t04b_qgroup",
+    "t06b_qgroup",
+    "t08b_qgroup",
+    "t10b_qgroup",
 ]
 
 
