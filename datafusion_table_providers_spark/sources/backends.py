@@ -42,6 +42,19 @@ class Backend:
     def query_arrow(self, sql: str) -> pa.Table:
         raise NotImplementedError
 
+    def query_arrow_batches(self, sql: str, batch_size: int = 65536):
+        """Stream the result as RecordBatches — part of the Backend
+        contract (transport.materialize_remote consumes ONLY this, never
+        query_arrow, so its spool guard bounds every backend's Spark-side
+        path). Subclasses SHOULD override with a true incremental fetch —
+        both shipped backends do (DuckDB fetch_record_batch, SQLite chunked
+        fetchmany). This default re-chunks one query_arrow table: driver
+        memory transiently holds the full Arrow result, but the expensive
+        full-result driver→JVM createDataFrame hop can no longer be
+        reintroduced by a third-party backend that forgot to implement
+        streaming."""
+        yield from self.query_arrow(sql).to_batches(max_chunksize=batch_size)
+
     def execute(self, sql: str, params: Optional[Iterable] = None) -> int:
         raise NotImplementedError
 

@@ -48,11 +48,11 @@ def materialize_remote(
 ) -> DataFrame:
     """Run ``sql`` on ``backend`` and return a DataFrame, spooling large
     results to parquet so they never fully materialize in driver memory."""
-    batches_fn = getattr(backend, "query_arrow_batches", None)
-    if batches_fn is None:
-        # both shipped embedded backends (DuckDB, SQLite) stream batches;
-        # this fallback only covers third-party Backend subclasses
-        return spark.createDataFrame(backend.query_arrow(sql))
+    # query_arrow_batches is part of the Backend contract (the base class
+    # provides a re-chunking default), so every backend — including
+    # third-party subclasses — goes through the spool guard below; the old
+    # unguarded createDataFrame(query_arrow(...)) fallback is gone.
+    batches_fn = backend.query_arrow_batches
 
     buffered = []
     rows = 0

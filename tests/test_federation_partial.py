@@ -136,3 +136,48 @@ def test_cross_context_union_splits(spark, tmp_path):
     df = materialize(spark, rel, explain=plan)
     assert len(plan.pushed) == 2  # one per backend
     assert df.count() == 6  # 3 groups from each side (UNION ALL)
+
+
+def test_minimal_third_party_backend_spools_above_threshold(spark, tmp_path):
+    """query_arrow_batches is part of the Backend contract: a third-party
+    subclass implementing only query_arrow still streams through the base
+    re-chunking default, so materialize_remote's spool guard applies and
+    the unbounded full-result createDataFrame hop cannot come back."""
+    import duckdb
+    import pyarrow as pa
+
+    from datafusion_table_providers_spark.core.expr import DIALECTS
+    from datafusion_table_providers_spark.sources.backends import Backend
+    from datafusion_table_providers_spark.sources.transport import (
+        materialize_remote,
+    )
+
+    class MinimalBackend(Backend):
+        def __init__(self):
+            self.dialect = DIALECTS["duckdb"]
+            self._con = duckdb.connect()
+
+        def compute_context(self):
+            return "minimal:"
+
+        def query_arrow(self, sql: str) -> pa.Table:
+            return self._con.execute(sql).fetch_arrow_table()
+
+    b = MinimalBackend()
+    df = materialize_remote(
+        spark,
+        b,
+        "SELECT range AS id, range * 2 AS v FROM range(5000)",
+        threshold_rows=1000,
+        spool_dir=str(tmp_path),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower(), plan
+    assert df.count() == 5000
+    # small results still take the one-hop in-memory path
+    df2 = materialize_remote(
+        spark, b, "SELECT 1 AS one", threshold_rows=1000, spool_dir=str(tmp_path)
+    )
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan2.lower(), plan2
+    assert df2.count() == 1
