@@ -33,6 +33,7 @@ from typing import Dict, Optional, Sequence
 from pyspark.sql import DataFrame
 
 from datafusion_table_providers_spark.core.types import create_table_ddl
+from datafusion_table_providers_spark.write.statement import render_insert
 from datafusion_table_providers_spark.sources.backends import (
     Backend,
     DuckDBBackend,
@@ -192,20 +193,28 @@ def _spool_safe(schema) -> bool:
     return all(ok(f.dataType) for f in schema.fields)
 
 
-def _staged_ingest(backend, table, mode, cols, source_rel, conflict) -> None:
+def _staged_ingest(backend, table, mode, names, source_rel, on_conflict) -> None:
     """Shared staging discipline: append straight in, or build a fresh
     generation and atomically swap (view re-point analog, write.rs:712-880)."""
     if mode == "overwrite":
         gen = f"{table}_gen_{uuid.uuid4().hex[:8]}"
         backend.execute(f'CREATE TABLE "{gen}" AS SELECT * FROM "{table}" LIMIT 0')
-        backend.execute(f'INSERT INTO "{gen}" ({cols}) SELECT {cols} FROM {source_rel}')
+        backend.execute(
+            render_insert("duckdb", gen, names, select_from=source_rel)
+        )
         backend.execute(
             f'BEGIN; DROP TABLE "{table}"; '
             f'ALTER TABLE "{gen}" RENAME TO "{table}"; COMMIT'
         )
     else:
         backend.execute(
-            f'INSERT INTO "{table}" ({cols}) SELECT {cols} FROM {source_rel}{conflict}'
+            render_insert(
+                "duckdb",
+                table,
+                names,
+                select_from=source_rel,
+                on_conflict=on_conflict,
+            )
         )
     # Stats refresh after bulk write (ANALYZE, write.rs:989-996)
     backend.execute(f'ANALYZE "{table}"')
@@ -226,8 +235,6 @@ def _insert_duckdb_spool(backend, table, df, mode, on_conflict, spool_dir=None) 
             "round-trip drops the logical type); use via='arrow'"
         )
     names = [f.name for f in df.schema.fields]
-    cols = ", ".join(f'"{c}"' for c in names)
-    conflict = " " + on_conflict.to_sql(names, "duckdb") if on_conflict else ""
     if spool_dir is not None:
         spool = os.path.join(spool_dir, f"dtps_spool_{uuid.uuid4().hex[:12]}")
     else:
@@ -236,7 +243,7 @@ def _insert_duckdb_spool(backend, table, df, mode, on_conflict, spool_dir=None) 
         df.write.mode("overwrite").parquet(spool)
         glob_rel = f"read_parquet('{spool}/*.parquet')"
         n = backend.query_arrow(f"SELECT COUNT(*) AS n FROM {glob_rel}")[0][0].as_py()
-        _staged_ingest(backend, table, mode, cols, glob_rel, conflict)
+        _staged_ingest(backend, table, mode, names, glob_rel, on_conflict)
     finally:
         shutil.rmtree(spool, ignore_errors=True)
     return n
@@ -246,12 +253,10 @@ def _insert_duckdb(backend, table, df, mode, on_conflict) -> int:
     arrow = df.toArrow()  # Arrow end-to-end; no row-wise conversion
     staging = f"staging_{uuid.uuid4().hex[:12]}"
     backend.register_arrow(staging, arrow)
-    cols = ", ".join(f'"{c}"' for c in arrow.schema.names)
-    conflict = (
-        " " + on_conflict.to_sql(arrow.schema.names, "duckdb") if on_conflict else ""
-    )
     try:
-        _staged_ingest(backend, table, mode, cols, f'"{staging}"', conflict)
+        _staged_ingest(
+            backend, table, mode, arrow.schema.names, f'"{staging}"', on_conflict
+        )
     finally:
         backend.unregister(staging)
     return arrow.num_rows
@@ -262,10 +267,7 @@ def _insert_sqlite(backend, table, df, mode, on_conflict) -> int:
     (prepared toggle crates/sqlite/src/lib.rs:157-161, bench
     benches/sqlite_insert_benchmark.rs)."""
     cols = [f.name for f in df.schema.fields]
-    col_sql = ", ".join(f'"{c}"' for c in cols)
-    ph = ", ".join("?" for _ in cols)
-    conflict = " " + on_conflict.to_sql(cols, "sqlite") if on_conflict else ""
-    sql = f'INSERT INTO "{table}" ({col_sql}) VALUES ({ph}){conflict}'
+    sql = render_insert("sqlite", table, cols, on_conflict=on_conflict)
     if mode == "overwrite":
         backend.execute(f'DELETE FROM "{table}"')
     total = 0
@@ -385,9 +387,7 @@ def distributed_insert(
 
     # serialize the connection spec, not a connection
     spec = (dbapi_module, list(connect_args), _json.dumps(kwargs))
-    col_list = ", ".join(q(c) for c in cols)
-    n_cols = len(cols) + 1
-    staging_q, table_q, part_q = q(staging), q(table), q("__part")
+    staging_q, part_q = q(staging), q("__part")
 
     def _write_partition(rows):
         import importlib as _il
@@ -402,14 +402,21 @@ def distributed_insert(
         try:
             wcur = wcon.cursor()
             mark = "?" if getattr(mod, "paramstyle", "qmark") == "qmark" else "%s"
-            ph = ", ".join([mark] * n_cols)
             # retry idempotency: replace this partition's prior attempt
             wcur.execute(
                 f"DELETE FROM {staging_q} WHERE {part_q} = {int(pid)}"
             )
-            ins = (
-                f"INSERT INTO {staging_q} ({col_list}, {part_q}) "
-                f"VALUES ({ph})"
+            from datafusion_table_providers_spark.write.statement import (
+                render_insert as _ri,
+            )
+
+            ins = _ri(
+                dialect_name,
+                staging_q,
+                cols,
+                extra_columns=("__part",),
+                param_mark=mark,
+                quote_table=False,
             )
             batch = []
             for row in rows:
@@ -428,12 +435,14 @@ def distributed_insert(
     con = _connect()
     try:
         cur = con.cursor()
-        conflict = (
-            " " + on_conflict.to_sql(cols, dialect_name) if on_conflict else ""
-        )
         cur.execute(
-            f"INSERT INTO {table_q} ({col_list}) "
-            f"SELECT {col_list} FROM {staging_q}{conflict}"
+            render_insert(
+                dialect_name,
+                table,
+                cols,
+                select_from=staging_q,
+                on_conflict=on_conflict,
+            )
         )
         count = cur.rowcount
         cur.execute(f"DROP TABLE {staging_q}")

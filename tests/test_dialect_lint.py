@@ -188,3 +188,91 @@ def test_sqlite_lexical_rules():
         lint_sql("SELECT * FROM t WHERE s ILIKE 'a%'", "sqlite")
     # '::' inside a string literal is fine
     lint_sql("SELECT 'a::b' FROM t", "sqlite")
+
+
+# ---- write path (r4: VERDICT item 6 — statement.rs is the reference's
+# biggest single SQL-generation surface; lint-gate our analog) -------------
+
+from datafusion_table_providers_spark.write.on_conflict import OnConflict
+from datafusion_table_providers_spark.write.statement import render_insert
+
+WRITE_DIALECTS = ["duckdb", "sqlite", "postgres", "mysql"]
+
+
+@pytest.mark.parametrize("dialect", ALL_DIALECTS)
+def test_render_insert_values_lints_clean(dialect):
+    sql = render_insert(dialect, "tbl", ["id", 'we"ird', "sel`ect"])
+    lint_sql(sql, dialect)
+
+
+@pytest.mark.parametrize("dialect", ALL_DIALECTS)
+def test_render_insert_select_lints_clean(dialect):
+    d = DIALECTS[dialect]
+    sql = render_insert(
+        dialect,
+        "tbl",
+        ["id", "v"],
+        select_from=d.quote_ident("staging"),
+        extra_columns=(),
+    )
+    lint_sql(sql, dialect)
+
+
+@pytest.mark.parametrize("dialect", WRITE_DIALECTS)
+@pytest.mark.parametrize(
+    "oc",
+    [
+        OnConflict.do_nothing_all(),
+        OnConflict.do_nothing(["id"]),
+        OnConflict.upsert(["id"]),
+    ],
+)
+def test_render_insert_on_conflict_lints_clean(dialect, oc):
+    sql = render_insert(
+        dialect, "tbl", ["id", "name", "v"], on_conflict=oc
+    )
+    lint_sql(sql, dialect)
+    # and the staged-commit SELECT shape
+    sql2 = render_insert(
+        dialect,
+        "tbl",
+        ["id", "name", "v"],
+        select_from=DIALECTS[dialect].quote_ident("stg"),
+        on_conflict=oc,
+    )
+    lint_sql(sql2, dialect)
+
+
+def test_write_path_lint_catches_planted_leak():
+    """The linter stays red on the round-2 bug class if it ever reaches a
+    write statement: a DuckDB-ism CAST embedded in the staged-ingest
+    SELECT fragment for a Postgres/MySQL target."""
+    for dialect in ("postgres", "mysql"):
+        sql = render_insert(
+            dialect,
+            "tbl",
+            ["id"],
+            select_from="(SELECT CAST(x AS DOUBLE) AS id FROM s) t",
+        )
+        with pytest.raises(DialectLintError):
+            lint_sql(sql, dialect)
+    # and a wrong-quote leak: backtick identifiers sent to Postgres
+    with pytest.raises(DialectLintError):
+        lint_sql('INSERT INTO "t" (`c`) VALUES (?)', "postgres")
+
+
+def test_sqlite_insert_matches_executed_shape(tmp_path):
+    """render_insert('sqlite', ...) is byte-compatible with what the
+    prepared executemany path actually runs."""
+    import sqlite3
+
+    con = sqlite3.connect(str(tmp_path / "w.db"))
+    con.execute('CREATE TABLE t ("id" INTEGER PRIMARY KEY, "v" TEXT)')
+    sql = render_insert("sqlite", "t", ["id", "v"])
+    con.executemany(sql, [(1, "a"), (2, "b")])
+    up = render_insert(
+        "sqlite", "t", ["id", "v"], on_conflict=OnConflict.upsert(["id"])
+    )
+    con.executemany(up, [(2, "B"), (3, "c")])
+    rows = con.execute('SELECT "id", "v" FROM t ORDER BY 1').fetchall()
+    assert rows == [(1, "a"), (2, "B"), (3, "c")]
