@@ -215,6 +215,14 @@ def table_row_count(backend, relation: str) -> int:
 #: large enough that per-task connection setup amortizes
 AUTO_PARTITION_ROWS = 1_000_000
 
+#: below this row-count statistic an ``auto_broadcast`` scan attaches a
+#: broadcast join hint. Python DataSource scans report only the session's
+#: default sizeInBytes to Catalyst (no stats hook — A15), so without the
+#: hint Spark NEVER auto-broadcasts a connector table and every
+#: connector-dim join pays a full shuffle. 500k rows of a typical dim is
+#: well under the ~8 GB broadcast-table ceiling.
+AUTO_BROADCAST_ROWS = 500_000
+
 
 def duckdb_reader_df(
     spark: SparkSession,
@@ -225,6 +233,7 @@ def duckdb_reader_df(
     columns: Optional[List[str]] = None,
     order_by: Optional[List[str]] = None,
     limit: Optional[int] = None,
+    auto_broadcast: bool = False,
 ) -> DataFrame:
     """Build a connector DataFrame for a backend-managed relation.
 
@@ -240,6 +249,11 @@ def duckdb_reader_df(
     including filter-only columns; Spark prunes its own output afterwards
     but the wire transfer carries only what is listed. Without it the scan
     fetches full-width rows, which Catalyst cannot fix post-transfer.
+
+    ``auto_broadcast=True`` consults the row-count statistic (A15,
+    reference flightsql/src/lib.rs:343-349) and attaches a broadcast join
+    hint when the relation is small: the Python DS API gives Catalyst no
+    per-table stats, so connector dims otherwise always shuffle-join.
 
     ``order_by``/``limit`` push a remote ORDER BY/LIMIT into each
     partition's SQL (reference mod.rs:505-607). Inexact by design: with >1
@@ -293,4 +307,10 @@ def duckdb_reader_df(
                 clauses.append(" AND ".join(c) if c else "TRUE")
                 prev = e
         opts["partition_clauses"] = json.dumps(clauses)
-    return spark.read.format("duckdb_engine").options(**opts).load()
+    hint_broadcast = False
+    if auto_broadcast:
+        hint_broadcast = table_row_count(backend, relation) <= AUTO_BROADCAST_ROWS
+        if backend.path != ":memory:":
+            backend.close()  # release the RW lock the count took
+    df = spark.read.format("duckdb_engine").options(**opts).load()
+    return df.hint("broadcast") if hint_broadcast else df

@@ -458,8 +458,14 @@ def c11_catalog_views(spark, sf_dir):
     cat = Catalog(spark)
     cat.register_parquet("cat_orders", _pq(sf_dir, "orders"))
     backend = _duckdb_parquet_backend(sf_dir)
+    # auto_broadcast: the row-count statistic marks the dim broadcastable
+    # (Python-DS scans expose no stats, so Catalyst would shuffle-join it)
     cdf = duckdb_reader_df(
-        spark, backend, "customer", columns=["c_custkey", "c_mktsegment"]
+        spark,
+        backend,
+        "customer",
+        columns=["c_custkey", "c_mktsegment"],
+        auto_broadcast=True,
     )
     cat.register_connector_table(
         "cat_customer", cdf, backend.compute_context(), "customer"

@@ -370,6 +370,25 @@ def test_auto_partition_from_row_stats(spark, tmp_path):
     assert df.count() == 100
 
 
+def test_auto_broadcast_from_row_stats(spark, tmp_path):
+    """A15: the row-count statistic also drives the join-side broadcast
+    decision — Python-DS scans report no stats to Catalyst, so without the
+    hint a connector dim always shuffle-joins."""
+    from pyspark.sql import functions as F
+
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    b = _filled_backend(spark, tmp_path)  # 100 rows — far under threshold
+    dim = duckdb_reader_df(spark, b, "t", auto_broadcast=True)
+    fact = spark.range(10_000).withColumn("id", (F.col("id") % 100) + 1)
+    joined = fact.join(dim, "id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert joined.count() > 0
+
+
 def test_sqlite_arrow_batches_all_null_first_chunk(tmp_path):
     """r3 ADVICE: a column all-NULL through the entire first chunk (e.g.
     NULLS-FIRST sort) must not freeze the schema at pa.null() and blow up
