@@ -99,3 +99,37 @@ def test_clickhouse_arg_key_injection_rejected(spark):
     f = ClickHouseTableFactory({"url": "tcp://localhost:9000"})
     with pytest.raises(ValueError, match="not a valid identifier"):
         f.get_table("param_view", args={"k=1) ; DROP TABLE x; --": "v"})
+
+
+def test_adbc_factory_arrow_native_path(spark, tmp_path):
+    """ADBCTableFactory scans through the Arrow-native cursor: schema comes
+    from the authoritative Arrow schema (a DECIMAL column keeps its exact
+    type — row-sampling introspection would widen it to Decimal(38,18)),
+    and the executor read takes the fetch_arrow_table fast path."""
+    import duckdb
+
+    from datafusion_table_providers_spark.factories import ADBCTableFactory
+
+    path = str(tmp_path / "adbc.duckdb")
+    con = duckdb.connect(path)
+    con.execute(
+        "CREATE TABLE t (id BIGINT, price DECIMAL(12,2), d DATE)"
+    )
+    con.execute(
+        "INSERT INTO t SELECT range, range * 1.01, DATE '2024-01-01' "
+        "FROM range(100)"
+    )
+    con.close()
+    f = ADBCTableFactory(
+        {
+            "driver": "duckdb",
+            "connect_args": [path],
+            "connect_kwargs": {"read_only": True},
+        }
+    ).with_session(spark)
+    df = f.get_table("t")
+    assert dict(df.dtypes)["price"] == "decimal(12,2)"
+    assert df.count() == 100
+    # pushed filter + pruned projection still apply on the ADBC dialect
+    df2 = f.get_table("t", columns=["id", "price"]).filter("id >= 90")
+    assert df2.count() == 10
