@@ -156,8 +156,13 @@ def register(spark: SparkSession) -> None:
 
 
 def sqlite_reader_df(
-    spark: SparkSession, backend, relation: str, columns=None
+    spark: SparkSession, backend, relation: str, columns=None,
+    auto_broadcast: bool = False,
 ) -> DataFrame:
+    """``auto_broadcast=True``: consult the row-count statistic and attach
+    a broadcast join hint when small (A15 — Python-DS scans report no
+    stats, so Catalyst would otherwise shuffle-join every connector dim;
+    same contract as ``duckdb_reader_df``)."""
     register(spark)
     if backend.path == ":memory:":
         raise ValueError(
@@ -173,4 +178,13 @@ def sqlite_reader_df(
     )
     if columns:
         reader = reader.option("columns", _json.dumps(list(columns)))
-    return reader.load()
+    hint_broadcast = False
+    if auto_broadcast:
+        from datafusion_table_providers_spark.sources.duckdb_source import (
+            AUTO_BROADCAST_ROWS,
+            table_row_count,
+        )
+
+        hint_broadcast = table_row_count(backend, relation) <= AUTO_BROADCAST_ROWS
+    df = reader.load()
+    return df.hint("broadcast") if hint_broadcast else df
