@@ -714,3 +714,115 @@ SUITE["d04b_ngram_editdist"] = QueryCase(
     _D04B_SQL,
     "n-gram Jaccard + edit-distance near-dup (merged)",
 )
+
+
+# --- d26: fuzzy eval-set decontamination (MinHash/LSH, cross-split) -------
+# Real curation pipelines pair exact-substring decontamination (d13's
+# 8-gram hits) with NEAR-duplicate decontamination: a training doc that is
+# a light paraphrase of an eval doc shares no long exact gram but has high
+# shingle Jaccard. Same signature/band machinery as d02b, restricted to
+# train x eval candidate pairs. Scale shape: the eval side is
+# benchmark-sized, so its band buckets and shingles broadcast; the train
+# side never self-joins — one shuffle for signatures, map-side joins after.
+FUZZY_EVAL_MOD = 5
+FUZZY_EVAL_REM = 2
+
+
+def d26_fuzzy_decontaminate(spark, sf_dir):
+    sig = _signature_df(spark, sf_dir).localCheckpoint(eager=True)
+    is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == FUZZY_EVAL_REM
+    buckets = None
+    for b in range(N_BANDS):
+        one = sig.select(
+            "doc_id", F.col(f"band{b}").alias("key"), F.lit(b).alias("band")
+        )
+        buckets = one if buckets is None else buckets.union(one)
+    a = buckets.where(~is_eval).alias("a")
+    bb = buckets.where(is_eval).alias("b")
+    cand = (
+        a.join(
+            F.broadcast(bb),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("train_id"),
+            F.col("b.doc_id").alias("eval_id"),
+        )
+        .distinct()
+    )
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.where(~is_eval)
+        .alias("x")
+        .join(
+            F.broadcast(sh.where(is_eval).alias("y")),
+            F.col("x.s") == F.col("y.s"),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("train_id"),
+            F.col("y.doc_id").alias("eval_id"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        cand.join(inter, ["train_id", "eval_id"])
+        .join(
+            sizes.withColumnRenamed("doc_id", "train_id").withColumnRenamed(
+                "n", "nt"
+            ),
+            "train_id",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "eval_id").withColumnRenamed(
+                "n", "ne"
+            ),
+            "eval_id",
+        )
+        .select(
+            "train_id",
+            "eval_id",
+            _r(
+                F.col("inter") / (F.col("nt") + F.col("ne") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _d26_sql() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {_band_expr(b)} AS key, {b} AS band FROM sig"
+        for b in range(N_BANDS)
+    )
+    m, r = FUZZY_EVAL_MOD, FUZZY_EVAL_REM
+    return f"""
+WITH {_sig_cte()},
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id % {m} <> {r} AND b.doc_id % {m} = {r}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS train_id, y.doc_id AS eval_id, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s
+  WHERE x.doc_id % {m} <> {r} AND y.doc_id % {m} = {r}
+  GROUP BY 1, 2
+)
+SELECT cand.train_id, cand.eval_id,
+       {_rsql('CAST(inter AS DOUBLE) / (st.n + se.n - inter)', 6)} AS jaccard
+FROM cand
+JOIN inter ON cand.train_id = inter.train_id AND cand.eval_id = inter.eval_id
+JOIN sizes st ON cand.train_id = st.doc_id
+JOIN sizes se ON cand.eval_id = se.doc_id
+"""
+
+
+SUITE["d26_fuzzy_decontaminate"] = QueryCase(
+    d26_fuzzy_decontaminate,
+    _d26_sql(),
+    "fuzzy eval-set decontamination (LSH train x eval + exact Jaccard)",
+)

@@ -307,12 +307,18 @@ def dbapi_reader_df(
     schema_ddl: Optional[str] = None,
     partition_column: Optional[str] = None,
     num_partitions: int = 1,
+    auto_broadcast: bool = False,
 ) -> DataFrame:
     """When ``partition_column`` (numeric) is set with ``num_partitions>1``,
     MIN/MAX bounds are introspected once driver-side over the same DB-API
     connection and the scan splits into disjoint range slices, each executed
     by its own executor task with its own server connection — the JDBC-style
-    parallel read, same discipline as ``duckdb_reader_df``."""
+    parallel read, same discipline as ``duckdb_reader_df``.
+
+    ``auto_broadcast=True``: run one driver-side COUNT(*) over the same
+    DB-API connection and attach a broadcast join hint when the relation
+    is small (A15 stats → join planning; Python-DS scans otherwise always
+    shuffle-join — same contract as ``duckdb_reader_df``)."""
     register(spark)
     r = (
         spark.read.format("dbapi_engine")
@@ -358,4 +364,24 @@ def dbapi_reader_df(
                 prev = e
         if clauses:
             r = r.option("partition_clauses", json.dumps(clauses))
-    return r.load()
+    hint_broadcast = False
+    if auto_broadcast:
+        from datafusion_table_providers_spark.sources.duckdb_source import (
+            AUTO_BROADCAST_ROWS,
+        )
+
+        con = _connect(
+            {
+                "module": module,
+                "connect_args": json.dumps(connect_args or []),
+                "connect_kwargs": json.dumps(connect_kwargs or {}),
+            }
+        )
+        try:
+            cur = con.cursor()
+            cur.execute(f"SELECT COUNT(*) FROM {relation}")
+            hint_broadcast = int(cur.fetchone()[0]) <= AUTO_BROADCAST_ROWS
+        finally:
+            con.close()
+    df = r.load()
+    return df.hint("broadcast") if hint_broadcast else df
