@@ -819,6 +819,40 @@ WHERE l.event_type = 'click' AND r.event_type = 'purchase'
 """
 
 
+# B29: streaming windowed aggregation vs batch oracle (complete mode).
+# Second certified streaming shape beside b28's interval join: event-time
+# tumbling window + watermark, drained with availableNow into a memory
+# sink. Same 6h-window truth as b26's batch query.
+def b29_stream_windowed_counts(spark, sf_dir):
+    utc(spark)
+    from datafusion_table_providers_spark.streaming.events import (
+        event_stream,
+        run_available_now,
+        windowed_counts,
+    )
+
+    agg = windowed_counts(event_stream(spark, sf_dir))
+    assert agg.isStreaming
+    _B28_RUNS[0] += 1
+    name = f"b29_sink_{os.path.basename(os.path.normpath(sf_dir))}_{_B28_RUNS[0]}".replace(
+        ".", "_"
+    )
+    got = run_available_now(agg, name, output_mode="complete")
+    return got.select(
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n",
+        _r(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+B29_SQL = f"""
+SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start, event_type,
+       COUNT(*) AS n, {_rsql('SUM(value)', 2)} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Merged capability-coverage queries.
 #
@@ -992,5 +1026,10 @@ SUITE = {
         b28_stream_batch_parity,
         B28_SQL,
         "Structured Streaming interval join == batch oracle (availableNow)",
+    ),
+    "b29_stream_windowed_counts": QueryCase(
+        b29_stream_windowed_counts,
+        B29_SQL,
+        "Structured Streaming windowed agg == batch oracle (availableNow)",
     ),
 }

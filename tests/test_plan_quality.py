@@ -100,3 +100,18 @@ def test_bucketed_join_eliminates_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bq_a")
         spark.sql("DROP TABLE IF EXISTS bq_b")
+
+
+def test_connector_dim_join_broadcasts_from_stats(spark):
+    """The c11 catalog shape: a parquet fact joined to a connector dim.
+    Python-DS scans expose no stats to Catalyst, so only the
+    auto_broadcast row-count hint makes this a BroadcastHashJoin — the
+    exact shuffle that would dominate a federated star join at scale."""
+    from datafusion_table_providers_spark.sources.suite import (
+        c11_catalog_views,
+    )
+
+    df = c11_catalog_views(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert df.count() > 0
