@@ -80,4 +80,11 @@ def materialize_remote(
         return spark.read.parquet(path)
     if not buffered:
         return spark.createDataFrame(backend.query_arrow(f"SELECT * FROM ({sql}) t LIMIT 0"))
-    return spark.createDataFrame(pa.Table.from_batches(buffered))
+    # the in-memory path KNOWS the fragment is small (≤ threshold_rows) —
+    # free row-count statistics Catalyst never gets from a Python source.
+    # The broadcast hint makes a downstream join against a big native table
+    # a BroadcastHashJoin instead of a full shuffle; on a no-join plan the
+    # hint is inert.
+    return spark.createDataFrame(pa.Table.from_batches(buffered)).hint(
+        "broadcast"
+    )

@@ -87,3 +87,23 @@ def test_engine_level_dml(spark, tmp_path):
     assert eng.update("t", {"v": "v + 1"}, '"id" < 5') == 5
     out = eng.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM t").collect()[0]
     assert out["n"] == 10 and out["s"] == 50.0
+
+
+def test_duckdb_nested_locked_call_during_iteration(tmp_path):
+    """The DuckDB backend lock is reentrant: the stream deliberately holds
+    it across yields (interleaved execute() would invalidate the open
+    streaming result), but the SAME thread may still call other locked
+    methods mid-iteration without deadlocking itself."""
+    from datafusion_table_providers_spark.sources.backends import DuckDBBackend
+
+    b = DuckDBBackend(str(tmp_path / "r.duckdb"))
+    b.execute("CREATE TABLE t AS SELECT range AS id FROM range(1000)")
+    seen = 0
+    names = None
+    for batch in b.query_arrow_batches("SELECT id FROM t", batch_size=200):
+        seen += batch.num_rows
+        if names is None:
+            names = b.table_names()  # nested locked call, same thread
+            break  # one nested call is the regression surface
+    assert names == ["t"]
+    assert seen > 0

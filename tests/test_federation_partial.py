@@ -181,3 +181,39 @@ def test_minimal_third_party_backend_spools_above_threshold(spark, tmp_path):
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "parquet" not in plan2.lower(), plan2
     assert df2.count() == 1
+
+
+def test_small_federated_fragment_broadcasts(spark, tmp_path):
+    """A fragment that stays on the in-memory path is known-small, so it
+    carries a broadcast hint into downstream joins against native tables."""
+    import duckdb
+    import pyarrow as pa
+
+    from datafusion_table_providers_spark.core.expr import DIALECTS
+    from datafusion_table_providers_spark.sources.backends import Backend
+    from datafusion_table_providers_spark.sources.transport import (
+        materialize_remote,
+    )
+
+    class MiniBackend(Backend):
+        def __init__(self):
+            self.dialect = DIALECTS["duckdb"]
+            self._con = duckdb.connect()
+
+        def compute_context(self):
+            return "mini:"
+
+        def query_arrow(self, sql: str) -> pa.Table:
+            return self._con.execute(sql).fetch_arrow_table()
+
+    dim = materialize_remote(
+        spark,
+        MiniBackend(),
+        "SELECT range AS k, 'g' || (range % 5) AS grp FROM range(100)",
+        threshold_rows=1000,
+    )
+    fact = spark.range(50_000).selectExpr("id % 100 AS k", "id AS v")
+    joined = fact.join(dim, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert joined.count() == 50_000
