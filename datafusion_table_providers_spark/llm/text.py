@@ -640,3 +640,64 @@ SUITE["d09c_text_search"] = QueryCase(
     D09C_SQL,
     "token counting + BM25 + phrase search (merged)",
 )
+
+
+# --- d27: vocabulary statistics (tokenizer prep) --------------------------
+# Tokenizer training starts from corpus-wide token frequencies and the
+# coverage curve (what share of all token occurrences the top-K types
+# cover). One groupBy shuffle for counts; the ranking window runs on K
+# rows AFTER a TakeOrdered top-K (the d09c BM25 discipline — bounded by
+# K, not vocabulary size); corpus total joins in as a broadcast scalar.
+VOCAB_K = 50
+
+
+def d27_vocab_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    topk = counts.orderBy(F.desc("n"), F.asc("tok")).limit(VOCAB_K)
+    order = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = topk.withColumn(
+        "rnk", F.row_number().over(order).cast("int")
+    ).withColumn(
+        "cum_n",
+        F.sum("n").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    total_df = toks.agg(F.count("*").alias("total"))
+    return ranked.crossJoin(F.broadcast(total_df)).select(
+        "tok",
+        "n",
+        "rnk",
+        _r(F.col("cum_n") / F.col("total"), 6).alias("cum_cov"),
+    )
+
+
+_D27_SQL = f"""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tt AS (SELECT tok FROM t WHERE tok <> ''),
+c AS (SELECT tok, COUNT(*) AS n FROM tt GROUP BY tok),
+k AS (SELECT tok, n FROM c ORDER BY n DESC, tok ASC LIMIT {VOCAB_K}),
+r AS (
+  SELECT tok, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS INT) AS rnk,
+         SUM(n) OVER (ORDER BY n DESC, tok ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM k
+)
+SELECT tok, n, rnk,
+       {_rsql('CAST(cum_n AS DOUBLE) / total', 6)} AS cum_cov
+FROM r CROSS JOIN (SELECT COUNT(*) AS total FROM tt) tot
+"""
+
+
+SUITE["d27_vocab_stats"] = QueryCase(
+    d27_vocab_stats,
+    _D27_SQL,
+    "vocabulary frequency + coverage curve (tokenizer prep)",
+)
