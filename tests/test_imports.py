@@ -52,3 +52,31 @@ def test_priority_window_is_first_fifty():
     for name in PRIORITY_WINDOW:
         case = FULL_SUITE[name]
         assert case.oracle, f"{name} has no oracle SQL"
+
+
+def test_all_oracle_sql_parses_on_duckdb():
+    """Cheap registry-wide oracle health check: every oracle_sql entry must
+    EXPLAIN (parse + bind) against DuckDB views over the driver tables —
+    catches oracle typos/drift in seconds without running the queries."""
+    import duckdb
+
+    from datafusion_table_providers_spark.suite import FULL_SUITE
+
+    con = duckdb.connect()
+    sf_dir = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = []
+    for name, case in FULL_SUITE.items():
+        if not case.oracle:
+            continue
+        try:
+            con.execute(f"EXPLAIN {case.oracle}")
+        except Exception as e:  # noqa: BLE001 — collected for the report
+            bad.append((name, str(e).splitlines()[0]))
+    assert not bad, bad
