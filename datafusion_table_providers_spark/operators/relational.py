@@ -853,6 +853,36 @@ FROM events GROUP BY 1, 2
 """
 
 
+# B30: streaming exact dedup vs batch oracle. dropDuplicates on a content
+# hash inside a watermark (streaming/dedup.py). WHICH representative row
+# survives is processing-order-dependent, but the SET of surviving
+# content values is deterministic — so the certified output is the
+# distinct content-hash set, identical to the batch DISTINCT truth.
+def b30_stream_dedup(spark, sf_dir):
+    utc(spark)
+    from datafusion_table_providers_spark.streaming.dedup import (
+        dedup_exact_stream,
+    )
+    from datafusion_table_providers_spark.streaming.events import (
+        event_stream,
+        run_available_now,
+    )
+
+    ded = dedup_exact_stream(
+        event_stream(spark, sf_dir), text_col="props", ts_col="ts"
+    )
+    assert ded.isStreaming
+    _B28_RUNS[0] += 1
+    name = f"b30_sink_{os.path.basename(os.path.normpath(sf_dir))}_{_B28_RUNS[0]}".replace(
+        ".", "_"
+    )
+    got = run_available_now(ded, name, output_mode="append")
+    return got.select(F.md5("props").alias("h")).distinct()
+
+
+B30_SQL = "SELECT DISTINCT md5(props) AS h FROM events"
+
+
 # --------------------------------------------------------------------------
 # Merged capability-coverage queries.
 #
@@ -1031,5 +1061,10 @@ SUITE = {
         b29_stream_windowed_counts,
         B29_SQL,
         "Structured Streaming windowed agg == batch oracle (availableNow)",
+    ),
+    "b30_stream_dedup": QueryCase(
+        b30_stream_dedup,
+        B30_SQL,
+        "Streaming exact dedup == batch DISTINCT oracle (availableNow)",
     ),
 }
