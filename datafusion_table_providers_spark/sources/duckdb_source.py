@@ -46,12 +46,33 @@ class RangePartition(InputPartition):
         self.clause = clause
 
 
+#: Per-executor-process connection cache for :memory: parquet-view configs.
+#: Spark reuses Python worker processes across tasks, so the in-memory DB +
+#: view setup (the dominant fixed cost of a short connector scan) amortizes
+#: across every task this worker runs. Only pure parquet-view configs cache:
+#: a file-backed or ATTACH-ing connection would pin a possibly-replaced
+#: inode (stale reads) and hold a read-only lock against later RW opens.
+_WORKER_CON_CACHE: dict = {}
+
+
 def _worker_connect(opts):
-    """Open a per-task DuckDB connection (read-only for file DBs so many
-    executor processes can scan concurrently) and materialize parquet views."""
+    """Open (or reuse) a per-task DuckDB connection — read-only for file
+    DBs so many executor processes can scan concurrently — and materialize
+    parquet views. Returns ``(con, cached)``: callers must close only
+    uncached connections."""
     import duckdb
 
     path = opts.get("path", ":memory:")
+    cacheable = path == ":memory:" and json.loads(opts.get("attach", "[]")) == []
+    if cacheable:
+        key = (opts.get("settings", "{}"), opts.get("parquet_tables", "{}"))
+        con = _WORKER_CON_CACHE.get(key)
+        if con is not None:
+            try:
+                con.execute("SELECT 1")
+                return con, True
+            except Exception:  # noqa: BLE001 — dead handle, rebuild below
+                _WORKER_CON_CACHE.pop(key, None)
     if path == ":memory:":
         con = duckdb.connect()
     else:
@@ -64,7 +85,10 @@ def _worker_connect(opts):
         con.execute(
             f'CREATE OR REPLACE VIEW "{name}" AS SELECT * FROM read_parquet(\'{pq}\')'
         )
-    return con
+    if cacheable:
+        _WORKER_CON_CACHE[key] = con
+        return con, True
+    return con, False
 
 
 class DuckDBReader(DataSourceReader):
@@ -118,21 +142,24 @@ class DuckDBReader(DataSourceReader):
         )
 
     def read(self, partition) -> Iterator[pa.RecordBatch]:
-        con = _worker_connect(self.options)
-        sql = self.scan_sql(partition)
-        reader = con.execute(sql).fetch_record_batch(65536)
-        target = None
-        while True:
-            try:
-                batch = reader.read_next_batch()
-            except StopIteration:
-                break
-            if target is None:
-                target = _target_schema(batch.schema)
-            if batch.schema != target:
-                batch = batch.cast(target)  # enforce_schema parity
-            yield batch
-        con.close()
+        con, cached = _worker_connect(self.options)
+        try:
+            sql = self.scan_sql(partition)
+            reader = con.execute(sql).fetch_record_batch(65536)
+            target = None
+            while True:
+                try:
+                    batch = reader.read_next_batch()
+                except StopIteration:
+                    break
+                if target is None:
+                    target = _target_schema(batch.schema)
+                if batch.schema != target:
+                    batch = batch.cast(target)  # enforce_schema parity
+                yield batch
+        finally:
+            if not cached:
+                con.close()
 
 
 def _target_schema(schema: pa.Schema) -> pa.Schema:
@@ -173,7 +200,7 @@ class DuckDBDataSource(DataSource):
         return "duckdb_engine"
 
     def schema(self):
-        con = _worker_connect(self.options)
+        con, cached = _worker_connect(self.options)
         rel = self.options.get("relation")
         cols = json.loads(self.options.get("columns", "null"))
         dialect = DIALECTS["duckdb"]
@@ -185,7 +212,8 @@ class DuckDBDataSource(DataSource):
             .fetch_arrow_table()
             .schema
         )
-        con.close()
+        if not cached:
+            con.close()
         return arrow_to_spark_schema(_target_schema(arrow_schema))
 
     def reader(self, schema) -> DataSourceReader:

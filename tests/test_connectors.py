@@ -438,3 +438,38 @@ def test_sqlite_arrow_batches_lock_released_between_yields(tmp_path):
     next(gen)
     gen.close()
     assert b.query_arrow("SELECT count(*) AS n FROM t").column("n")[0].as_py() == 500
+
+
+def test_worker_connection_cache_memory_parquet_only(tmp_path):
+    """The per-process connection cache applies ONLY to :memory:
+    parquet-view configs; file-backed connections stay per-task (a cached
+    read-only handle would pin a replaced inode and block RW opens)."""
+    import json
+
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        _WORKER_CON_CACHE,
+        _worker_connect,
+    )
+
+    pq = str(tmp_path / "t.parquet")
+    import duckdb
+
+    duckdb.connect().execute(
+        f"COPY (SELECT range AS id FROM range(10)) TO '{pq}' (FORMAT parquet)"
+    )
+    opts = {"path": ":memory:", "parquet_tables": json.dumps({"t": pq})}
+    con1, cached1 = _worker_connect(opts)
+    con2, cached2 = _worker_connect(opts)
+    assert cached1 and cached2 and con1 is con2
+    assert con2.execute("SELECT count(*) FROM t").fetchone()[0] == 10
+    # file-backed: never cached
+    db = str(tmp_path / "f.duckdb")
+    duckdb.connect(db).execute("CREATE TABLE x AS SELECT 1 AS a").close()
+    fcon, fcached = _worker_connect({"path": db})
+    assert not fcached
+    fcon.close()
+    # dead cached handle is rebuilt, not served
+    con1.close()
+    con3, _ = _worker_connect(opts)
+    assert con3.execute("SELECT count(*) FROM t").fetchone()[0] == 10
+    _WORKER_CON_CACHE.clear()
