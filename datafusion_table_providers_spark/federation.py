@@ -212,7 +212,14 @@ def materialize(
             if explain is not None:
                 explain.pushed.append((ctx, sql))
             df = materialize_remote(
-                spark, backend, sql, threshold_rows=limit, spool_dir=spool_dir
+                spark,
+                backend,
+                sql,
+                threshold_rows=limit,
+                spool_dir=spool_dir,
+                # the fragment re-enters a Spark join above this node, so
+                # the known-small row count becomes a broadcast decision
+                broadcast_hint=True,
             )
             view = f"__fed_{next(_IDS)}"
             return f"SELECT * FROM {view}", {view: df}

@@ -45,6 +45,7 @@ def materialize_remote(
     sql: str,
     threshold_rows: int = DEFAULT_THRESHOLD_ROWS,
     spool_dir: Optional[str] = None,
+    broadcast_hint: bool = False,
 ) -> DataFrame:
     """Run ``sql`` on ``backend`` and return a DataFrame, spooling large
     results to parquet so they never fully materialize in driver memory."""
@@ -82,9 +83,10 @@ def materialize_remote(
         return spark.createDataFrame(backend.query_arrow(f"SELECT * FROM ({sql}) t LIMIT 0"))
     # the in-memory path KNOWS the fragment is small (≤ threshold_rows) —
     # free row-count statistics Catalyst never gets from a Python source.
-    # The broadcast hint makes a downstream join against a big native table
-    # a BroadcastHashJoin instead of a full shuffle; on a no-join plan the
-    # hint is inert.
-    return spark.createDataFrame(pa.Table.from_batches(buffered)).hint(
-        "broadcast"
-    )
+    # ``broadcast_hint`` (set by partial-federation callers whose fragments
+    # feed a downstream Spark join) turns that join into a
+    # BroadcastHashJoin instead of a full shuffle. Whole-query callers
+    # leave it off: the result reaches the user directly and a dangling
+    # hint just logs a HintErrorLogger warning.
+    df = spark.createDataFrame(pa.Table.from_batches(buffered))
+    return df.hint("broadcast") if broadcast_hint else df

@@ -211,6 +211,7 @@ def test_small_federated_fragment_broadcasts(spark, tmp_path):
         MiniBackend(),
         "SELECT range AS k, 'g' || (range % 5) AS grp FROM range(100)",
         threshold_rows=1000,
+        broadcast_hint=True,
     )
     fact = spark.range(50_000).selectExpr("id % 100 AS k", "id AS v")
     joined = fact.join(dim, "k")
