@@ -701,3 +701,88 @@ SUITE["d27_vocab_stats"] = QueryCase(
     _D27_SQL,
     "vocabulary frequency + coverage curve (tokenizer prep)",
 )
+
+
+# --- d28: Gopher-style quality rule bundle --------------------------------
+# The published Gopher/MassiveText filter rules (Rae et al. 2021, §A1.1 —
+# public paper), the rule set most curation pipelines start from: word
+# count bounds, mean word length bounds, symbol-to-word ratio, alphabetic
+# word fraction, and a stopword-presence floor. Every rule is whole-stage
+# codegen (split/filter/aggregate/regexp_extract_all) — one scan, zero
+# shuffles, zero UDFs; at 100 TB this runs at parquet-scan speed.
+_D28_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that")
+
+
+def d28_gopher_rules(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    mean_wl = sum_len.cast("double") / n_words
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    n_sym = F.size(F.expr(r"regexp_extract_all(text, '#|\\.\\.\\.', 0)"))
+    n_stop = sum(
+        F.array_contains(words, s).cast("int") for s in _D28_STOPWORDS
+    )
+    out = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        _r(mean_wl, 4).alias("mean_word_len"),
+        _r(n_sym.cast("double") / n_words, 6).alias("symbol_ratio"),
+        _r(n_alpha.cast("double") / n_words, 6).alias("alpha_frac"),
+        n_stop.alias("n_stop_hits"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("alpha_frac") > 0.8)
+        & (F.col("n_stop_hits") >= 2),
+    )
+
+
+def _d28_sql() -> str:
+    stop_terms = " + ".join(
+        f"CAST(list_contains(w, '{s}') AS INT)" for s in _D28_STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS mwl,
+         CAST(n_sym AS DOUBLE) / len(w) AS symr,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           / len(w) AS af,
+         CAST({stop_terms} AS INT) AS n_stop_hits
+  FROM base
+)
+SELECT doc_id, n_words,
+       {_rsql('mwl', 4)} AS mean_word_len,
+       {_rsql('symr', 6)} AS symbol_ratio,
+       {_rsql('af', 6)} AS alpha_frac,
+       n_stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND {_rsql('mwl', 4)} >= 3.0 AND {_rsql('mwl', 4)} <= 10.0
+        AND {_rsql('symr', 6)} < 0.1
+        AND {_rsql('af', 6)} > 0.8
+        AND n_stop_hits >= 2) AS gopher_pass
+FROM m
+"""
+
+
+SUITE["d28_gopher_rules"] = QueryCase(
+    d28_gopher_rules,
+    _d28_sql(),
+    "Gopher/MassiveText quality rule bundle (single scan, no shuffle)",
+)
