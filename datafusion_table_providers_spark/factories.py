@@ -123,9 +123,43 @@ class SqliteTableFactory(_SparkFactory):
         return names
 
 
+def _dbapi_table_names(module: str, connect_args, connect_kwargs, sql: str,
+                       context: str) -> List[str]:
+    """Shared live ``tables()`` implementation (reference postgres.py:29,
+    mysql.py:29 — each factory lists over its live connection). Raises a
+    clear ConnectionError when no server/driver is reachable."""
+    import importlib
+
+    try:
+        mod = importlib.import_module(module)
+        con = mod.connect(*list(connect_args), **dict(connect_kwargs))
+    except Exception as e:  # noqa: BLE001 — surfaced with connection context
+        raise ConnectionError(
+            f"listing tables requires a live server ({context}): {e}"
+        ) from e
+    try:
+        cur = con.cursor()
+        cur.execute(sql)
+        return [r[0] for r in cur.fetchall()]
+    finally:
+        con.close()
+
+
 class PostgresTableFactory(_SparkFactory):
     """Postgres table factory (reference postgres.py — params dict with
     host/user/db/pass/port/sslmode). Scans go through Spark's JDBC source."""
+
+    _TABLES_SQL = (
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema NOT IN ('pg_catalog', 'information_schema') "
+        "AND table_type = 'BASE TABLE' ORDER BY table_name"
+    )
+
+    def tables(self) -> List[str]:
+        mod, args, kwargs = self.backend.dbapi_spec()
+        return _dbapi_table_names(
+            mod, args, kwargs, self._TABLES_SQL, self.backend.compute_context()
+        )
 
     def __init__(self, params: Dict[str, str]):
         super().__init__()
@@ -148,6 +182,11 @@ class PostgresTableFactory(_SparkFactory):
 
 class MySQLTableFactory(PostgresTableFactory):
     """MySQL table factory (reference mysql.py)."""
+
+    _TABLES_SQL = (
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = DATABASE() ORDER BY table_name"
+    )
 
     def __init__(self, params: Dict[str, str]):
         _SparkFactory.__init__(self)
@@ -299,6 +338,19 @@ class ADBCTableFactory(_SparkFactory):
             **partitioning,
         )
 
+    def tables(self) -> List[str]:
+        """Live listing over the ADBC driver's information_schema (works
+        against the in-env DuckDB certification target too)."""
+        return _dbapi_table_names(
+            self.module,
+            self.connect_args,
+            self.connect_kwargs,
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema NOT IN ('pg_catalog', 'information_schema') "
+            "ORDER BY table_name",
+            f"adbc:{self.module}",
+        )
+
 
 class MongoDBTableFactory(_SparkFactory):
     """MongoDB table factory (reference mongodb.py) — requires pymongo."""
@@ -310,6 +362,22 @@ class MongoDBTableFactory(_SparkFactory):
             f"mongodb://{params.get('host', 'localhost')}:{params.get('port', 27017)}",
         )
         self.database = params.get("db", params.get("database", "test"))
+
+    def tables(self) -> List[str]:
+        """Live collection listing (reference mongodb.py:29)."""
+        from datafusion_table_providers_spark.sources.mongodb_source import (
+            HAS_PYMONGO,
+        )
+
+        if not HAS_PYMONGO:
+            raise ConnectionError(
+                f"listing collections requires pymongo ({self.uri})"
+            )
+        import pymongo
+
+        return sorted(
+            pymongo.MongoClient(self.uri)[self.database].list_collection_names()
+        )
 
     def get_table(self, table_reference: str) -> DataFrame:
         from datafusion_table_providers_spark.sources.mongodb_source import (

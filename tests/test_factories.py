@@ -133,3 +133,32 @@ def test_adbc_factory_arrow_native_path(spark, tmp_path):
     # pushed filter + pruned projection still apply on the ADBC dialect
     df2 = f.get_table("t", columns=["id", "price"]).filter("id >= 90")
     assert df2.count() == 10
+
+
+def test_factory_tables_parity(spark, tmp_path):
+    """Every reference factory exposes tables(); server-backed ones raise a
+    clear ConnectionError without a live server, and the ADBC path lists
+    live against its in-env DuckDB target."""
+    import duckdb
+
+    from datafusion_table_providers_spark.factories import (
+        ADBCTableFactory,
+        MongoDBTableFactory,
+        MySQLTableFactory,
+        PostgresTableFactory,
+    )
+
+    path = str(tmp_path / "lst.duckdb")
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE aa (x INT); CREATE TABLE bb (y INT)")
+    con.close()
+    f = ADBCTableFactory({"driver": "duckdb", "connect_args": [path]})
+    assert f.tables() == ["aa", "bb"]
+
+    for factory in (
+        PostgresTableFactory({"host": "127.0.0.1", "port": "1"}),
+        MySQLTableFactory({"host": "127.0.0.1", "port": "1"}),
+        MongoDBTableFactory({"host": "127.0.0.1"}),
+    ):
+        with pytest.raises(ConnectionError, match="requires"):
+            factory.tables()
