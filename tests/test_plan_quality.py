@@ -115,3 +115,37 @@ def test_connector_dim_join_broadcasts_from_stats(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert df.count() > 0
+
+
+def test_round4_op_plan_properties(spark):
+    """Enforce (not just record) the plan shapes of the round-4 ops:
+    d26 broadcasts its eval side and never goes cartesian; d27's global
+    ranking is a K-bounded TakeOrdered, not a full sort; d28 is one scan
+    with no shuffle at all."""
+    sf = "/root/testdata/sf0.001"
+    from datafusion_table_providers_spark.llm.dedup import (
+        d26_fuzzy_decontaminate,
+    )
+    from datafusion_table_providers_spark.llm.text import (
+        d27_vocab_stats,
+        d28_gopher_rules,
+    )
+
+    p26 = (
+        d26_fuzzy_decontaminate(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in p26, p26
+    assert "CartesianProduct" not in p26 and "BroadcastNestedLoop" not in p26
+
+    p27 = (
+        d27_vocab_stats(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in p27, p27
+
+    p28 = (
+        d28_gopher_rules(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p28, p28
