@@ -307,7 +307,15 @@ def duckdb_reader_df(
         num_partitions = max(1, min(64, rows // AUTO_PARTITION_ROWS + 1))
         if backend.path != ":memory:":
             backend.close()  # release the RW lock the count introspection took
-    if backend.path == ":memory:" and not backend.parquet_tables:
+    if (
+        backend.path == ":memory:"
+        and not backend.parquet_tables
+        and "(" not in relation
+    ):
+        # A plain table name in a :memory: DB is invisible to executor
+        # processes. Table-FUNCTION relations (read_csv(...), read_json(...),
+        # read_parquet(...) — the reference's A10/A11 surface) are file-backed
+        # and scan fine from any process, so they pass through.
         raise ValueError(
             "in-memory DuckDB tables are not visible to executor processes; "
             "use a file-mode backend or parquet-backed tables, or go through "

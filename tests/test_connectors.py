@@ -473,3 +473,29 @@ def test_worker_connection_cache_memory_parquet_only(tmp_path):
     con3, _ = _worker_connect(opts)
     assert con3.execute("SELECT count(*) FROM t").fetchone()[0] == 10
     _WORKER_CON_CACHE.clear()
+
+
+def test_table_function_relations_csv_json(spark, tmp_path):
+    """A10/A11 widening: read_csv / read_json table-function relations scan
+    through the connector with pushdown — the reference's table-function
+    argument surface, not just read_parquet views."""
+    import json as _json
+
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("id,name\n1,a\n2,b\n3,c\n")
+    jsonl = tmp_path / "t.jsonl"
+    jsonl.write_text(
+        "\n".join(_json.dumps({"id": i, "v": i * 1.5}) for i in range(5))
+    )
+    b = DuckDBBackend()  # :memory: — table functions are file-backed
+    got = duckdb_reader_df(
+        spark, b, f"read_csv('{csv}', header=true)"
+    ).filter(F.col("id") >= 2)
+    assert sorted(r["name"] for r in got.collect()) == ["b", "c"]
+    gj = duckdb_reader_df(spark, b, f"read_json('{jsonl}')")
+    assert gj.count() == 5
+    assert abs(gj.agg(F.sum("v")).collect()[0][0] - 15.0) < 1e-9
