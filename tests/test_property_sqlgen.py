@@ -100,3 +100,35 @@ def test_nan_inf_literals_are_valid_sql():
     for x in (float("inf"), float("-inf"), float("nan")):
         got = duckdb.sql(f"SELECT CAST({D.literal(x)} AS DOUBLE) AS v").fetchone()[0]
         assert math.isnan(got) if math.isnan(x) else got == x
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.one_of(st.none(), st.text(max_size=8).filter(lambda s: "\x00" not in s)),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+        ),
+        min_size=0,
+        max_size=400,
+    ),
+    st.integers(min_value=1, max_value=64),
+)
+def test_sqlite_arrow_batches_property(rows, batch_size):
+    """Any null pattern (incl. all-NULL leading chunks) and any chunk size
+    yields a schema-stable batch stream totaling exactly the input rows."""
+    import sqlite3 as _sq
+
+    from datafusion_table_providers_spark.sources.backends import SQLiteBackend
+
+    b = SQLiteBackend(":memory:")
+    con = b._connect()
+    con.execute("CREATE TABLE t (id INTEGER, s TEXT, v REAL)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    con.commit()
+    batches = list(
+        b.query_arrow_batches("SELECT id, s, v FROM t ORDER BY s NULLS FIRST", batch_size)
+    )
+    assert sum(bt.num_rows for bt in batches) == len(rows)
+    assert len({str(bt.schema) for bt in batches}) <= 1
