@@ -721,9 +721,12 @@ SUITE["d04b_ngram_editdist"] = QueryCase(
 # 8-gram hits) with NEAR-duplicate decontamination: a training doc that is
 # a light paraphrase of an eval doc shares no long exact gram but has high
 # shingle Jaccard. Same signature/band machinery as d02b, restricted to
-# train x eval candidate pairs. Scale shape: the eval side is
-# benchmark-sized, so its band buckets and shingles broadcast; the train
-# side never self-joins — one shuffle for signatures, map-side joins after.
+# train x eval candidate pairs. Scale shape: a real eval side is
+# benchmark-sized (MBs against a corpus of TBs), so its band buckets and
+# shingles broadcast — the broadcast bound is |eval|, never |corpus| —
+# and the train side never self-joins: one shuffle for signatures,
+# map-side joins after. (The synthetic 20% split here is far larger than
+# any real benchmark; it exists so the certified output is non-trivial.)
 FUZZY_EVAL_MOD = 5
 FUZZY_EVAL_REM = 2
 

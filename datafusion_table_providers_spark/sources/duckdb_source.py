@@ -53,6 +53,10 @@ class RangePartition(InputPartition):
 #: a file-backed or ATTACH-ing connection would pin a possibly-replaced
 #: inode (stale reads) and hold a read-only lock against later RW opens.
 _WORKER_CON_CACHE: dict = {}
+#: cap on cached connections per worker — a long-lived executor scanning
+#: many distinct view configs must not accumulate open in-memory DBs;
+#: eviction is insertion-order (dict), oldest config first
+_WORKER_CON_CACHE_MAX = 8
 
 
 def _worker_connect(opts):
@@ -86,6 +90,12 @@ def _worker_connect(opts):
             f'CREATE OR REPLACE VIEW "{name}" AS SELECT * FROM read_parquet(\'{pq}\')'
         )
     if cacheable:
+        while len(_WORKER_CON_CACHE) >= _WORKER_CON_CACHE_MAX:
+            old = _WORKER_CON_CACHE.pop(next(iter(_WORKER_CON_CACHE)))
+            try:
+                old.close()
+            except Exception:  # noqa: BLE001 — already-dead handle
+                pass
         _WORKER_CON_CACHE[key] = con
         return con, True
     return con, False

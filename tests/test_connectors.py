@@ -499,3 +499,35 @@ def test_table_function_relations_csv_json(spark, tmp_path):
     gj = duckdb_reader_df(spark, b, f"read_json('{jsonl}')")
     assert gj.count() == 5
     assert abs(gj.agg(F.sum("v")).collect()[0][0] - 15.0) < 1e-9
+
+
+def test_worker_connection_cache_evicts_oldest(tmp_path):
+    """The per-process cache is bounded: oldest config evicted and closed."""
+    import json
+
+    import duckdb
+
+    from datafusion_table_providers_spark.sources import duckdb_source as ds
+
+    pq = str(tmp_path / "e.parquet")
+    duckdb.connect().execute(
+        f"COPY (SELECT 1 AS a) TO '{pq}' (FORMAT parquet)"
+    )
+    ds._WORKER_CON_CACHE.clear()
+    cons = []
+    for i in range(ds._WORKER_CON_CACHE_MAX + 2):
+        opts = {
+            "path": ":memory:",
+            "settings": json.dumps({"threads": str(i + 1)}),
+            "parquet_tables": json.dumps({"t": pq}),
+        }
+        con, cached = ds._worker_connect(opts)
+        assert cached
+        cons.append(con)
+    assert len(ds._WORKER_CON_CACHE) == ds._WORKER_CON_CACHE_MAX
+    # the first (evicted) connection was closed
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        cons[0].execute("SELECT 1")
+    ds._WORKER_CON_CACHE.clear()
