@@ -294,3 +294,34 @@ def test_sqlite_staged_overwrite_and_memory_fallback(spark, tmp_path):
     )
     writer.insert_into(m, "t", wide)
     assert m.query_arrow('SELECT COUNT(*) AS n FROM "t"')[0][0].as_py() == 200
+
+
+def test_write_training_shards_bounds_and_layout(spark, tmp_path):
+    """Output shards respect maxRecordsPerFile and the hive partition
+    layout; no shard exceeds the row bound and all rows round-trip."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datafusion_table_providers_spark.write.output import (
+        write_training_shards,
+    )
+
+    df = spark.range(10_000).selectExpr(
+        "id AS doc_id", "CAST(id % 3 AS STRING) AS source", "id * 2 AS v"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        df, out, shard_rows=500, partition_by=["source"], target_shards=4
+    )
+    parts = sorted(os.listdir(out))
+    assert [p for p in parts if p.startswith("source=")] == [
+        "source=0", "source=1", "source=2"
+    ]
+    files = glob.glob(f"{out}/source=*/*.parquet")
+    assert files
+    assert max(pq.read_metadata(f).num_rows for f in files) <= 500
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.groupBy("source").count().count() == 3
