@@ -63,3 +63,35 @@ def render_insert(
     )
     target = q(table) if quote_table else table
     return f"INSERT INTO {target} ({col_sql}) {body}{conflict}"
+
+
+def render_delete(
+    dialect_name: str,
+    table: str,
+    condition: Optional[str] = None,
+    returning: bool = False,
+) -> str:
+    """DELETE with dialect-quoted target (reference dml.rs:49-123).
+    ``condition`` is a caller-supplied SQL fragment, passed verbatim;
+    ``returning`` appends ``RETURNING 1`` for engines that count that way."""
+    d = DIALECTS[dialect_name]
+    where = f" WHERE {condition}" if condition else ""
+    ret = " RETURNING 1" if returning else ""
+    return f"DELETE FROM {d.quote_ident(table)}{where}{ret}"
+
+
+def render_update(
+    dialect_name: str,
+    table: str,
+    assignments,
+    condition: Optional[str] = None,
+    returning: bool = False,
+) -> str:
+    """UPDATE from column→SQL-expression assignments (dml.rs:126-199).
+    Column names quote per dialect; expressions pass verbatim."""
+    d = DIALECTS[dialect_name]
+    q = d.quote_ident
+    sets = ", ".join(f"{q(c)} = {expr}" for c, expr in assignments.items())
+    where = f" WHERE {condition}" if condition else ""
+    ret = " RETURNING 1" if returning else ""
+    return f"UPDATE {q(table)} SET {sets}{where}{ret}"

@@ -33,7 +33,11 @@ from typing import Dict, Optional, Sequence
 from pyspark.sql import DataFrame
 
 from datafusion_table_providers_spark.core.types import create_table_ddl
-from datafusion_table_providers_spark.write.statement import render_insert
+from datafusion_table_providers_spark.write.statement import (
+    render_delete,
+    render_insert,
+    render_update,
+)
 from datafusion_table_providers_spark.sources.backends import (
     Backend,
     DuckDBBackend,
@@ -289,11 +293,13 @@ def _insert_sqlite(backend, table, df, mode, on_conflict) -> int:
 def delete_from(backend: Backend, table: str, condition: Optional[str] = None) -> int:
     """Remote DELETE; returns affected count (DeletionExec analog,
     dml.rs:49-123)."""
-    where = f" WHERE {condition}" if condition else ""
+    name = getattr(backend.dialect, "name", "ansi")
     if isinstance(backend, DuckDBBackend):
-        tbl = backend.query_arrow(f'DELETE FROM "{table}"{where} RETURNING 1')
+        tbl = backend.query_arrow(
+            render_delete(name, table, condition, returning=True)
+        )
         return tbl.num_rows
-    return backend.execute(f'DELETE FROM "{table}"{where}')
+    return backend.execute(render_delete(name, table, condition))
 
 
 def update(
@@ -304,14 +310,13 @@ def update(
 ) -> int:
     """Remote UPDATE from column→SQL-expression assignments (UpdateExec
     analog, dml.rs:126-199)."""
-    sets = ", ".join(f'"{c}" = {expr}' for c, expr in assignments.items())
-    where = f" WHERE {condition}" if condition else ""
+    name = getattr(backend.dialect, "name", "ansi")
     if isinstance(backend, DuckDBBackend):
         tbl = backend.query_arrow(
-            f'UPDATE "{table}" SET {sets}{where} RETURNING 1'
+            render_update(name, table, assignments, condition, returning=True)
         )
         return tbl.num_rows
-    return backend.execute(f'UPDATE "{table}" SET {sets}{where}')
+    return backend.execute(render_update(name, table, assignments, condition))
 
 
 def distributed_insert(

@@ -276,3 +276,24 @@ def test_sqlite_insert_matches_executed_shape(tmp_path):
     con.executemany(up, [(2, "B"), (3, "c")])
     rows = con.execute('SELECT "id", "v" FROM t ORDER BY 1').fetchall()
     assert rows == [(1, "a"), (2, "B"), (3, "c")]
+
+
+@pytest.mark.parametrize("dialect", WRITE_DIALECTS)
+def test_render_delete_update_lint_clean(dialect):
+    from datafusion_table_providers_spark.write.statement import (
+        render_delete,
+        render_update,
+    )
+
+    lint_sql(render_delete(dialect, "tbl", "id > 5"), dialect)
+    lint_sql(render_delete(dialect, 'we"ird'), dialect)
+    lint_sql(
+        render_update(dialect, "tbl", {"a": "lower(a)", "b": "b + 1"}, "id > 5"),
+        dialect,
+    )
+    # planted leak in an assignment expression stays red
+    with pytest.raises(DialectLintError):
+        lint_sql(
+            render_update("postgres", "t", {"a": "CAST(x AS DOUBLE)"}),
+            "postgres",
+        )
