@@ -510,6 +510,55 @@ SUITE["c02b_partitioned_scans"] = QueryCase(
     "partitioned scans: DuckDB range slices + Flight endpoints (merged)",
 )
 
+# --- C13: SQLite DELETE/UPDATE — the non-RETURNING counting path ----------
+# c06 certifies DML on DuckDB (RETURNING 1 counting); this row certifies
+# the other writer branch: SQLite's cursor.rowcount counting through
+# render_delete/render_update, then a connector read-back.
+def c13_sqlite_dml(spark, sf_dir):
+    utc(spark)
+    from datafusion_table_providers_spark.sources.sqlite_source import (
+        sqlite_reader_df,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"engine_sdml_{_tag(sf_dir)}.db"
+    )
+    if os.path.exists(path):
+        os.remove(path)
+    backend = SQLiteBackend(path)
+    nat = spark.read.parquet(_pq(sf_dir, "nation"))
+    writer.insert_into(backend, "nat", nat, mode="append")
+    n_del = writer.delete_from(backend, "nat", "n_regionkey = 0")
+    n_upd = writer.update(
+        backend, "nat", {"n_name": "lower(n_name)"}, "n_regionkey = 1"
+    )
+    assert n_del > 0 and n_upd > 0  # rowcount (not RETURNING) counting
+    df = sqlite_reader_df(
+        backend=backend,
+        spark=spark,
+        relation="nat",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    return df.select(
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )
+
+
+C13_SQL = """
+SELECT n_nationkey,
+       CASE WHEN n_regionkey = 1 THEN lower(n_name) ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation WHERE n_regionkey <> 0
+"""
+
+
+SUITE["c13_sqlite_dml"] = QueryCase(
+    c13_sqlite_dml, C13_SQL, "SQLite DELETE/UPDATE via rowcount counting"
+)
+
+
 # --- C12: ADBC-style Arrow-native scan (crates/adbc analog) ---------------
 # The last reference backend with no named counterpart (VERDICT r3 gap 5):
 # an ADBCTableFactory scan whose executor tasks pull results via the
