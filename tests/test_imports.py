@@ -80,3 +80,17 @@ def test_all_oracle_sql_parses_on_duckdb():
         except Exception as e:  # noqa: BLE001 — collected for the report
             bad.append((name, str(e).splitlines()[0]))
     assert not bad, bad
+
+
+def test_examples_run(spark):
+    """Every example's main() runs end-to-end in-process (the reference
+    ships python/examples/*; these are their Spark translations)."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        for mod in ("duckdb_demo", "sqlite_demo", "adbc_demo", "flight_demo"):
+            importlib.import_module(mod).main()
+    finally:
+        sys.path.remove("/root/repo/examples")
