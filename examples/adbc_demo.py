@@ -6,6 +6,12 @@ without external adbc_driver_* wheels; swap ``driver`` for
 """
 
 import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import tempfile
 
 import duckdb

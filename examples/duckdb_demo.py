@@ -6,6 +6,12 @@ Self-provisioning: builds its own temp DuckDB file so it runs anywhere.
 """
 
 import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import tempfile
 
 import duckdb

@@ -4,6 +4,13 @@ Spins up an in-process pyarrow Flight server (stand-in for a FlightSQL
 endpoint) and scans it over real gRPC, one Spark partition per endpoint.
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import threading
 
 import pyarrow as pa

@@ -8,6 +8,13 @@ Point ``params`` at a real server and ``factory.tables()`` /
 ``factory.get_table(...)`` go live with the same code.
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 from datafusion_table_providers_spark.core.expr import DIALECTS, build_select
 from datafusion_table_providers_spark.core.pg_types import (
     schema_from_information_schema,

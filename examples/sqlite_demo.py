@@ -1,6 +1,12 @@
 """SQLite factory demo — reference python/examples/sqlite_demo.py on Spark."""
 
 import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import sqlite3
 import tempfile
 

@@ -90,7 +90,13 @@ def test_examples_run(spark):
 
     sys.path.insert(0, "/root/repo/examples")
     try:
-        for mod in ("duckdb_demo", "sqlite_demo", "adbc_demo", "flight_demo"):
+        for mod in (
+            "duckdb_demo",
+            "sqlite_demo",
+            "adbc_demo",
+            "flight_demo",
+            "postgres_demo",
+        ):
             importlib.import_module(mod).main()
     finally:
         sys.path.remove("/root/repo/examples")
