@@ -96,6 +96,7 @@ def test_examples_run(spark):
             "adbc_demo",
             "flight_demo",
             "postgres_demo",
+            "clickhouse_demo",
         ):
             importlib.import_module(mod).main()
     finally:
