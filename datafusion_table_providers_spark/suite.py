@@ -58,6 +58,13 @@ for _mod, _attr in [
 #: Arrow-native scan (c12), the Structured-Streaming-vs-batch-oracle row
 #: (b28), the IVF-ANN and full-curation solo rows, and e07 riding the e04
 #: stats row. Rotated-out entries stay registered + strict-local verified.
+#:
+#: Round-4 late rotation: the six operators added after the first 50 slots
+#: filled (fuzzy decontamination d26, vocabulary stats d27, Gopher quality
+#: rules d28, streaming windowed-agg b29, streaming exact-dedup b30, SQLite
+#: DML rowcount c13) swap in for six entries already driver-green in BOTH
+#: r2 and r3 (c09, d01, d07, b11b, b16b, b24d) so every round-4 addition
+#: gets its driver row this round instead of waiting for round 5.
 PRIORITY_WINDOW = [
     # connector family (§2.A scan/pushdown/federation/write) — 9
     "c01_duckdb_scan_pushdown",
@@ -67,24 +74,25 @@ PRIORITY_WINDOW = [
     "c05b_upsert_dml",
     "c07_sqlite_roundtrip",
     "c08_duckdb_overwrite",
-    "c09_dbapi_scan",
     "c12_adbc_scan",
-    # dedup — one per method + components — 6
-    "d01_exact_dedup",
+    "c13_sqlite_dml",
+    # dedup — one per method + components + fuzzy decontamination — 6
     "d02b_minhash_lsh_pairs",
     "d03b_simhash_pairs",
     "d04b_ngram_editdist",
     "d11b_neardup_multiprobe",
     "d12_dedup_components",
+    "d26_fuzzy_decontaminate",
     # similarity search + clustering — 3
     "d05b_knn_lsh",
     "d06b_ivf_ann",
     "d17b_cluster_semdedup",
-    # text analysis + search — 4
-    "d07_langid",
+    # text analysis + search — 5
     "d08_quality",
     "d09c_text_search",
     "d10b_fingerprint_repetition",
+    "d27_vocab_stats",
+    "d28_gopher_rules",
     # curation: decontamination+PII-scrub+paragraph-dedup / sampling /
     # packing — 3 rows, 5 ops (d13b merges d13+d24+d25, r3)
     "d13b_curation_scrub",
@@ -110,13 +118,12 @@ PRIORITY_WINDOW = [
     "b06c_outer_joins",
     "b07c_semi_anti",
     "b10c_aggs",
-    "b11b_distinct_having",
     "b14b_windows",
-    "b16b_sort_topk",
     "b23c_grouping_sets",
-    "b24d_nested",
     "b26b_event_ops",
     "b28_stream_batch_parity",
+    "b29_stream_windowed_counts",
+    "b30_stream_dedup",
     # TPC-H shapes never certified since r1, 11 queries in 4 merged rows
     "t04b_qgroup",
     "t06b_qgroup",
