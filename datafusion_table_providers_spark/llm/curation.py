@@ -37,7 +37,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from datafusion_table_providers_spark.core.case import QueryCase
-from datafusion_table_providers_spark.operators.relational import _t
+from datafusion_table_providers_spark.operators.relational import _r, _rsql, _t
 
 # --- d13: decontamination vs a held-out eval split ------------------------
 # Synthetic stand-in for a benchmark set: every 13th document is "eval".
@@ -349,3 +349,127 @@ SUITE = {
         "decontamination + PII scrub + paragraph dedup (merged)",
     ),
 }
+
+
+# --- d31: within-document repeated-chunk removal --------------------------
+# C4-style intra-document dedup (Raffel et al. 2020 drops repeated lines
+# inside a page; this corpus has no newlines, so the unit is a disjoint
+# 2-token chunk): keep the FIRST occurrence of each distinct chunk within a
+# document, drop later repeats, and fingerprint the cleaned text. Chunking
+# is positional (chunk i = tokens [2i, 2i+1]) so the operator is a pure
+# per-row transform + one (doc_id, chunk) window + one doc_id groupBy —
+# every shuffle key is document-bounded, so partitions stay balanced at any
+# corpus size and no state ever exceeds one document's chunks.
+CHUNK_W = 2
+
+
+def d31_intradoc_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.inline(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {CHUNK_W}.0) as int) - 1), "
+                f"i -> struct(i as cidx, array_join(slice(split(text, ' '), i * {CHUNK_W} + 1, {CHUNK_W}), ' ') as ctext))"
+            )
+        ),
+    )
+    k = chunks.withColumn(
+        "first_idx", F.min("cidx").over(Window.partitionBy("doc_id", "ctext"))
+    )
+    kept = k.where(F.col("cidx") == F.col("first_idx"))
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("cidx", "ctext"))),
+                    lambda s: s["ctext"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return totals.join(cleaned, "doc_id").select(
+        "doc_id", "n_chunks", "n_kept", "clean_hash"
+    )
+
+
+_D31_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, i AS cidx,
+         array_to_string(ws[i * {CHUNK_W} + 1 : i * {CHUNK_W} + {CHUNK_W}], ' ') AS ctext
+  FROM w, unnest([x for x in range(0, CAST(ceil(len(ws) / {CHUNK_W}.0) AS BIGINT))]) r(i)
+),
+k AS (SELECT *, MIN(cidx) OVER (PARTITION BY doc_id, ctext) AS first_idx FROM c),
+kept AS (SELECT doc_id, cidx, ctext FROM k WHERE cidx = first_idx),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(ctext, ' ' ORDER BY cidx)) AS clean_hash
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM c GROUP BY doc_id)
+SELECT doc_id, n_chunks, n_kept, clean_hash FROM tot JOIN agg USING (doc_id)
+"""
+
+
+SUITE["d31_intradoc_dedup"] = QueryCase(
+    d31_intradoc_dedup,
+    _D31_SQL,
+    "within-document repeated-chunk removal (C4 intra-page dedup analog)",
+)
+
+
+# --- d32: temperature-scaled source mixture weights -----------------------
+# Multilingual/multi-source training runs sample sources with probability
+# proportional to n^alpha (alpha<1 upsamples small sources — Conneau &
+# Lample 2019, public). alpha=0.5 keeps the whole computation exact: sqrt
+# is IEEE-correctly-rounded on both engines, and weights are scaled to
+# BIGINT before the normalizing sum so no float accumulation order exists.
+# One groupBy on source (a handful of groups at any corpus size) + one
+# broadcast of the scalar total — driver never sees more than the source
+# list.
+MIX_BUDGET = 100_000
+
+
+def d32_mixture_weights(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w_scaled = F.floor(
+        F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    ws = per_src.withColumn("w", w_scaled)
+    tot = ws.agg(F.sum("w").alias("w_total"))
+    p = F.col("w").cast("double") / F.col("w_total").cast("double")
+    return ws.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        _r(p, 6).alias("mix_weight"),
+        F.floor(p * F.lit(float(MIX_BUDGET)) + F.lit(0.5))
+        .cast("long")
+        .alias("quota_docs"),
+    )
+
+
+_D32_SQL = f"""
+WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS w
+  FROM s
+),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM w)
+SELECT source, n_docs,
+       {_rsql('CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)', 6)} AS mix_weight,
+       CAST(FLOOR(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE) * {MIX_BUDGET}.0 + 0.5) AS BIGINT) AS quota_docs
+FROM w CROSS JOIN t
+"""
+
+
+SUITE["d32_mixture_weights"] = QueryCase(
+    d32_mixture_weights,
+    _D32_SQL,
+    "temperature-scaled (n^0.5) source mixing weights + quotas",
+)

@@ -786,3 +786,122 @@ SUITE["d28_gopher_rules"] = QueryCase(
     _d28_sql(),
     "Gopher/MassiveText quality rule bundle (single scan, no shuffle)",
 )
+
+
+# --- d29: BPE merge-step pair statistics ----------------------------------
+# The inner loop of BPE tokenizer training (Sennrich et al. 2016, public):
+# count adjacent symbol-pair frequencies weighted by word frequency and pick
+# the top merges. The scale trick is that pair counting runs over the
+# DISTINCT word table (vocabulary-sized — millions of rows at 100 TB), not
+# the corpus: one corpus-wide groupBy collapses the token stream to
+# (word, count), and the character-bigram explode touches only that small
+# table. Corpus size affects exactly one shuffle; everything after is
+# vocabulary-bounded.
+BPE_K = 30
+
+
+def d29_bpe_pair_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    wc = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    # sequence(1, n) DESCENDS when n < 1 (BUILD_NOTES #9) — guard len>=2
+    pairs_arr = F.when(
+        F.length("w") >= 2,
+        F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = wc.select(F.explode(pairs_arr).alias("pair"), "cnt")
+    agg = pairs.groupBy("pair").agg(F.sum("cnt").alias("pair_count"))
+    topk = agg.orderBy(F.desc("pair_count"), F.asc("pair")).limit(BPE_K)
+    # ranking window runs on BPE_K rows post-limit — bounded by K, not vocab
+    order = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return topk.withColumn("rnk", F.row_number().over(order).cast("int"))
+
+
+_D29_SQL = f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT w, COUNT(*) AS cnt FROM t WHERE w <> '' GROUP BY w),
+p AS (
+  SELECT unnest([substring(w, i, 2) for i in range(1, length(w))]) AS pair, cnt
+  FROM wc WHERE length(w) >= 2
+),
+agg AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM p GROUP BY pair),
+k AS (SELECT pair, pair_count FROM agg ORDER BY pair_count DESC, pair ASC LIMIT {BPE_K})
+SELECT pair, pair_count,
+       CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair ASC) AS INT) AS rnk
+FROM k
+"""
+
+
+SUITE["d29_bpe_pair_stats"] = QueryCase(
+    d29_bpe_pair_stats,
+    _D29_SQL,
+    "BPE merge-step pair frequencies (vocabulary-bounded explode)",
+)
+
+
+# --- d30: unigram-LM document scoring (perplexity proxy) ------------------
+# The cheap quality signal most curation stacks compute before a real LM
+# perplexity pass: mean token log-probability under the corpus's own
+# unigram distribution (CCNet-style, Wenzek et al. 2020 — public). Two
+# shuffles at any scale: token counts (vocabulary-sized result) and the
+# token→frequency equi-join (AQE broadcasts the frequency table when the
+# vocabulary is small). Per-token log-probs are rounded to a scaled BIGINT
+# before summing so the per-doc aggregate is an integer sum —
+# order-independent, immune to float accumulation-order drift (the e04
+# lesson); the single trailing division is the only float op.
+LOGP_SCALE = 1_000_000
+
+
+def d30_unigram_logprob(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = toks.agg(F.count("*").alias("total"))
+    lp = F.floor(
+        F.log(F.col("n").cast("double") / F.col("total")) * F.lit(float(LOGP_SCALE))
+        + F.lit(0.5)
+    ).cast("long")
+    freq_lp = freq.crossJoin(F.broadcast(total)).select("tok", lp.alias("lp"))
+    per_doc = toks.join(freq_lp, "tok").groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"), F.sum("lp").alias("sum_lp")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_toks",
+        _r(
+            F.col("sum_lp").cast("double")
+            / (F.lit(float(LOGP_SCALE)) * F.col("n_toks")),
+            6,
+        ).alias("mean_logp"),
+    )
+
+
+_D30_SQL = f"""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+f AS (SELECT tok, COUNT(*) AS n FROM tt GROUP BY tok),
+tot AS (SELECT COUNT(*) AS total FROM tt),
+lp AS (
+  SELECT tok,
+         CAST(FLOOR(ln(CAST(n AS DOUBLE) / total) * {LOGP_SCALE}.0 + 0.5) AS BIGINT) AS lp
+  FROM f CROSS JOIN tot
+),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(lp) AS BIGINT) AS sum_lp
+  FROM tt JOIN lp USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_toks,
+       {_rsql(f'CAST(sum_lp AS DOUBLE) / ({LOGP_SCALE}.0 * n_toks)', 6)} AS mean_logp
+FROM pd
+"""
+
+
+SUITE["d30_unigram_logprob"] = QueryCase(
+    d30_unigram_logprob,
+    _D30_SQL,
+    "unigram-LM mean log-prob quality score (integer-sum determinism)",
+)

@@ -452,3 +452,40 @@ SUITE = {
         "stats aggregates + salted two-phase aggregation (merged)",
     ),
 }
+
+
+# --- e10: salted skew join (hot fact keys spread over n_salts reducers) ---
+# operators/skew.py::salted_join is the declarative explode-salt pattern for
+# joins whose hot keys would otherwise put one reducer on the critical path
+# (AQE splits skewed SHUFFLE partitions, but a deliberately salted plan also
+# covers sort-merge-with-broadcast-disabled and pre-AQE engines). Semantics
+# are identical to the plain equi-join — which is exactly what the oracle
+# runs — so the row certifies "salting never changes results". The brand
+# aggregate keeps the driver-visible output small while summing every joined
+# row.
+def e10_salted_join(spark, sf_dir):
+    from datafusion_table_providers_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    pt = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand")
+        .withColumnRenamed("p_partkey", "l_partkey")
+    )
+    joined = salted_join(li, pt, "l_partkey", n_salts=8)
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").alias("n_items"),
+        _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+E10_SQL = f"""
+SELECT p_brand AS brand, COUNT(*) AS n_items,
+       {_rsql('SUM(l_quantity)', 2)} AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+SUITE["e10_salted_join"] = QueryCase(
+    e10_salted_join, E10_SQL, "salted equi-join == plain join (skew spread)"
+)
