@@ -149,3 +149,45 @@ def test_round4_op_plan_properties(spark):
         d28_gopher_rules(spark, sf)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in p28, p28
+
+
+def test_new_training_op_plan_properties(spark):
+    """Round-4 late ops: d29's global ranking must stay a K-bounded
+    TakeOrdered (vocabulary never fully sorts); d30/d31 must never
+    degenerate to a cartesian (the 1-row scalar cross joins are
+    broadcast by construction); e10's salt explode must survive as a
+    Generate feeding a hash join — losing it silently restores the
+    skew hotspot the operator exists to remove."""
+    sf = "/root/testdata/sf0.001"
+    from datafusion_table_providers_spark.llm.curation import d31_intradoc_dedup
+    from datafusion_table_providers_spark.llm.text import (
+        d29_bpe_pair_stats,
+        d30_unigram_logprob,
+    )
+    from datafusion_table_providers_spark.operators.extensions import (
+        e10_salted_join,
+    )
+
+    def plan(fn):
+        return fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+    p29 = plan(d29_bpe_pair_stats)
+    assert "TakeOrderedAndProject" in p29, p29
+    assert "CartesianProduct" not in p29
+
+    p30 = plan(d30_unigram_logprob)
+    assert "CartesianProduct" not in p30
+    assert (
+        "BroadcastHashJoin" in p30
+        or "SortMergeJoin" in p30
+        or "ShuffledHashJoin" in p30
+    ), p30
+
+    p31 = plan(d31_intradoc_dedup)
+    assert "CartesianProduct" not in p31
+    assert "Window" in p31, p31
+
+    p10 = plan(e10_salted_join)
+    assert "CartesianProduct" not in p10
+    assert "Generate" in p10, p10
+    assert "BroadcastHashJoin" in p10 or "SortMergeJoin" in p10, p10
