@@ -473,3 +473,25 @@ SUITE["d32_mixture_weights"] = QueryCase(
     _D32_SQL,
     "temperature-scaled (n^0.5) source mixing weights + quotas",
 )
+
+
+# Merged window-candidate row: the three corpus-statistics ops added late
+# in round 4 (BPE pairs, unigram LM scoring, mixture weights) in one slot —
+# the round-5 rotation can certify all three with a single driver row.
+from datafusion_table_providers_spark.llm.text import (  # noqa: E402
+    _D29_SQL,
+    _D30_SQL,
+    d29_bpe_pair_stats,
+    d30_unigram_logprob,
+)
+
+d29b_tokenizer_prep, D29B_SQL = _merged(
+    ("d29", d29_bpe_pair_stats, _D29_SQL),
+    ("d30", d30_unigram_logprob, _D30_SQL),
+    ("d32", d32_mixture_weights, _D32_SQL),
+)
+SUITE["d29b_tokenizer_prep"] = QueryCase(
+    d29b_tokenizer_prep,
+    D29B_SQL,
+    "tokenizer prep: BPE pairs + unigram LM score + mixture weights (merged)",
+)
