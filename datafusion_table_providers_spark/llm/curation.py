@@ -495,3 +495,18 @@ SUITE["d29b_tokenizer_prep"] = QueryCase(
     D29B_SQL,
     "tokenizer prep: BPE pairs + unigram LM score + mixture weights (merged)",
 )
+
+
+# d31 rides the d13b curation row: re-merge and overwrite so the
+# within-document dedup capability is driver-certified this round.
+d13b_curation_scrub, D13B_SQL = _merged(
+    ("d13", d13_decontaminate, D13_SQL),
+    ("d24", d24_pii_scrub, D24_SQL),
+    ("d25", d25_paragraph_dedup, D25_SQL),
+    ("d31", d31_intradoc_dedup, _D31_SQL),
+)
+SUITE["d13b_curation_scrub"] = QueryCase(
+    d13b_curation_scrub,
+    D13B_SQL,
+    "decontamination + PII scrub + paragraph dedup + intra-doc dedup (merged)",
+)

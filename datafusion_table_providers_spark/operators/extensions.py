@@ -489,3 +489,18 @@ GROUP BY p_brand
 SUITE["e10_salted_join"] = QueryCase(
     e10_salted_join, E10_SQL, "salted equi-join == plain join (skew spread)"
 )
+
+
+# e10 rides the e04b stats row (same discipline as e07 in r4's first
+# rotation) so the salted-join certification lands this round: re-merge
+# and overwrite the registry entry defined above.
+e04b_stats_salted, E04B_SQL = _merged(
+    ("e04", e04_stats, E04_SQL),
+    ("e07", e07_salted_agg, E07_SQL),
+    ("e10", e10_salted_join, E10_SQL),
+)
+SUITE["e04b_stats_salted"] = QueryCase(
+    e04b_stats_salted,
+    E04B_SQL,
+    "stats aggregates + salted two-phase agg + salted join (merged)",
+)

@@ -87,8 +87,10 @@ PRIORITY_WINDOW = [
     "d05b_knn_lsh",
     "d06b_ivf_ann",
     "d17b_cluster_semdedup",
-    # text analysis + search — 5
-    "d08_quality",
+    # text analysis + search + tokenizer prep — 5
+    # (d08 rotates out r2+r3-certified; d28's Gopher bundle keeps the
+    # quality-scoring family represented; d29b certifies d29+d30+d32)
+    "d29b_tokenizer_prep",
     "d09c_text_search",
     "d10b_fingerprint_repetition",
     "d27_vocab_stats",
