@@ -1068,3 +1068,94 @@ SUITE = {
         "Streaming exact dedup == batch DISTINCT oracle (availableNow)",
     ),
 }
+
+
+# B31: custom stateful streaming operator (applyInPandasWithState
+# sessionization) vs batch oracle. The session still OPEN at end-of-input
+# lives in the state store (flushed only by a processing-time timeout a
+# single-batch availableNow run never reaches), so the deterministic,
+# certifiable contract is "every non-final session per user". The wrapper
+# anti-joins the streamed output against the batch-truth final-session
+# start per user — which drops the final session whether or not a timeout
+# happened to flush it — and the oracle excludes the max session id per
+# user, so both sides converge on the same set.
+def b31_stream_sessions(spark, sf_dir):
+    utc(spark)
+    from datafusion_table_providers_spark.streaming.events import (
+        drain_stateful,
+        event_stream,
+        sessionize_stateful,
+    )
+
+    # 500ms flush + drain_stateful: a stateful availableNow query never
+    # self-terminates (empty micro-batches keep firing so processing-time
+    # timeouts can run), so the drain stops it after the timeout-flush batch
+    sess = sessionize_stateful(event_stream(spark, sf_dir), flush_ms=500)
+    assert sess.isStreaming
+    _B28_RUNS[0] += 1
+    name = f"b31_sink_{os.path.basename(os.path.normpath(sf_dir))}_{_B28_RUNS[0]}".replace(
+        ".", "_"
+    )
+    got = drain_stateful(sess, name, output_mode="append")
+    out = got.select(
+        "user_id",
+        F.unix_micros("session_start").alias("s_us"),
+        F.unix_micros("session_end").alias("e_us"),
+        "n_events",
+    ).alias("out")
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = e.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.lag(ts_us).over(w).alias("prev_us"),
+    )
+    starts = g.where(
+        F.col("prev_us").isNull()
+        | (F.col("ts_us") - F.col("prev_us") > 1_800_000_000)
+    )
+    finals = (
+        starts.groupBy("user_id").agg(F.max("ts_us").alias("f_us")).alias("fin")
+    )
+    return out.join(
+        finals,
+        (F.col("out.user_id") == F.col("fin.user_id"))
+        & (F.col("out.s_us") == F.col("fin.f_us")),
+        "left_anti",
+    )
+
+
+B31_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), f AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM g
+), s AS (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+), sess AS (
+  SELECT user_id, sid, MIN(ts_us) AS s_us, MAX(ts_us) AS e_us,
+         COUNT(*) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, s_us, e_us, n_events FROM (
+  SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS msid FROM sess
+) WHERE sid < msid
+"""
+
+SUITE["b31_stream_sessions"] = QueryCase(
+    b31_stream_sessions,
+    B31_SQL,
+    "stateful streaming sessionization (applyInPandasWithState) == batch sessions",
+)

@@ -112,71 +112,87 @@ STATE_SCHEMA = StructType(
 GAP_US = 30 * 60 * 1_000_000
 
 
-def _session_fn(
-    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Emit closed sessions; keep the open session in state.
+def _make_session_fn(flush_ms: int):
+    """Build the per-group state function with the flush timeout baked in.
 
-    Event-time sessionization with a processing-time timeout as the flush
-    mechanism (canonical applyInPandasWithState pattern)."""
-    import datetime as dt
+    The timeout must be captured in a CLOSURE (serialized by value), not a
+    module global — executors re-import this module, so a driver-side
+    global mutation would never reach them."""
 
-    (user_id,) = key
-    if state.hasTimedOut:
-        if state.exists:
-            start_us, last_us, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [dt.datetime.utcfromtimestamp(start_us / 1e6)],
-                    "session_end": [dt.datetime.utcfromtimestamp(last_us / 1e6)],
-                    "n_events": [n],
-                }
-            )
-        return
+    def _session_fn(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Emit closed sessions; keep the open session in state.
 
-    rows = pd.concat(list(pdfs)).sort_values("ts_us")
-    closed = []
-    if state.exists:
-        start_us, last_us, n = state.get
-    else:
-        start_us, last_us, n = None, None, 0
-    for ts_us in rows["ts_us"]:
-        ts_us = int(ts_us)
-        if start_us is None:
-            start_us, last_us, n = ts_us, ts_us, 1
-        elif ts_us - last_us > GAP_US:
-            closed.append((start_us, last_us, n))
-            start_us, last_us, n = ts_us, ts_us, 1
-        else:
-            last_us, n = ts_us, n + 1
-    state.update((start_us, last_us, n))
-    state.setTimeoutDuration(60 * 1000)
-    if closed:
+        Event-time sessionization with a processing-time timeout as the
+        flush mechanism (canonical applyInPandasWithState pattern)."""
         import datetime as dt
 
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id] * len(closed),
-                "session_start": [
-                    dt.datetime.utcfromtimestamp(s / 1e6) for s, _, _ in closed
-                ],
-                "session_end": [
-                    dt.datetime.utcfromtimestamp(e / 1e6) for _, e, _ in closed
-                ],
-                "n_events": [c for _, _, c in closed],
-            }
-        )
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [dt.datetime.utcfromtimestamp(start_us / 1e6)],
+                        "session_end": [dt.datetime.utcfromtimestamp(last_us / 1e6)],
+                        "n_events": [n],
+                    }
+                )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts_us")
+        closed = []
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        for ts_us in rows["ts_us"]:
+            ts_us = int(ts_us)
+            if start_us is None:
+                start_us, last_us, n = ts_us, ts_us, 1
+            elif ts_us - last_us > GAP_US:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = ts_us, ts_us, 1
+            else:
+                last_us, n = ts_us, n + 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutDuration(flush_ms)
+        if closed:
+            import datetime as dt
+
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        dt.datetime.utcfromtimestamp(s / 1e6) for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        dt.datetime.utcfromtimestamp(e / 1e6) for _, e, _ in closed
+                    ],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
 
 
-def sessionize_stateful(stream: DataFrame) -> DataFrame:
-    """Custom stateful session-window operator (applyInPandasWithState)."""
+    return _session_fn
+
+
+def sessionize_stateful(stream: DataFrame, flush_ms: int = 60_000) -> DataFrame:
+    """Custom stateful session-window operator (applyInPandasWithState).
+
+    ``flush_ms`` is the processing-time timeout that flushes the open
+    session. The 60s default fits a live stream; a bounded availableNow
+    drain should pass something small (e.g. 500) — with a long timeout the
+    availableNow trigger keeps scheduling empty micro-batches until every
+    registered timeout expires, stretching a 5s drain to a minute."""
     prepared = stream.select(
         "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
+        _make_session_fn(flush_ms),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
@@ -312,3 +328,48 @@ def run_available_now(
     q.awaitTermination(120)
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def drain_stateful(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    empty_batches: int = 2,
+    max_wait_s: float = 120.0,
+) -> DataFrame:
+    """Drain a STATEFUL availableNow query that registers processing-time
+    timeouts. Such a query never self-terminates: after the data batches,
+    the trigger keeps scheduling empty micro-batches so expired timeouts can
+    fire (observed: one ~1s empty batch per second, forever). This waits for
+    the data to be processed plus ``empty_batches`` consecutive empty
+    batches (the first of which fires every expired timeout), then stops the
+    query explicitly and returns the sink table."""
+    import time as _time
+
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = _time.time()
+    seen_data = False
+    empties = 0
+    last_batch = -1
+    while q.isActive and _time.time() - t0 < max_wait_s:
+        _time.sleep(0.2)
+        lp = q.lastProgress
+        if not lp or lp["batchId"] == last_batch:
+            continue
+        last_batch = lp["batchId"]
+        if lp["numInputRows"] > 0:
+            seen_data = True
+            empties = 0
+        elif seen_data:
+            empties += 1
+            if empties >= empty_batches:
+                break
+    q.stop()
+    q.awaitTermination(30)
+    return stream_df.sparkSession.table(name)

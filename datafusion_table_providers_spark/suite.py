@@ -116,9 +116,12 @@ PRIORITY_WINDOW = [
     "d16b_vector_compression",
     # relational surface (merged-coverage rows) + streaming parity — 12
     "b01c_scan_case",
+    # (b07c rotates out r2+r3-certified; EXISTS/NOT-EXISTS shapes stay
+    # exercised in-window via t04b's Q4; b31 certifies the custom stateful
+    # streaming operator — applyInPandasWithState sessionization)
     "b05c_joins",
     "b06c_outer_joins",
-    "b07c_semi_anti",
+    "b31_stream_sessions",
     "b10c_aggs",
     "b14b_windows",
     "b23c_grouping_sets",

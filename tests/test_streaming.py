@@ -43,9 +43,16 @@ def test_windowed_counts_match_batch(spark):
 
 
 def test_stateful_sessionizer_runs(spark):
+    from datafusion_table_providers_spark.streaming.events import drain_stateful
+
     stream = event_stream(spark, SF)
-    sessions = run_available_now(
-        sessionize_stateful(stream), "sessions_out", output_mode="append"
+    # drain_stateful, not run_available_now: a stateful query with
+    # processing-time timeouts never self-terminates under availableNow, so
+    # the plain helper would burn its full awaitTermination cap
+    sessions = drain_stateful(
+        sessionize_stateful(stream, flush_ms=500),
+        "sessions_out",
+        output_mode="append",
     )
     rows = sessions.collect()
     # closed sessions only (open ones stay in state) — all must be valid
