@@ -1,0 +1,120 @@
+"""Edge-case invariants for the round-4 training-pipeline operators
+(d29-d33, e10). Oracle equivalence is certified by the suite rows; these
+tests pin the SEMANTIC contracts a hash-match alone would not explain."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bpe_pairs_ranked_and_positive(spark):
+    from datafusion_table_providers_spark.llm.text import (
+        BPE_K,
+        d29_bpe_pair_stats,
+    )
+
+    rows = d29_bpe_pair_stats(spark, SF).collect()
+    assert 0 < len(rows) <= BPE_K
+    # every pair is exactly 2 chars (the length>=2 guard holds), counts
+    # positive, ranks dense from 1 in count-desc order
+    assert all(len(r["pair"]) == 2 and r["pair_count"] > 0 for r in rows)
+    ranked = sorted(rows, key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in ranked] == list(range(1, len(rows) + 1))
+    counts = [r["pair_count"] for r in ranked]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_unigram_logprob_bounds(spark):
+    from datafusion_table_providers_spark.llm.text import d30_unigram_logprob
+    from datafusion_table_providers_spark.operators.relational import _t
+
+    out = d30_unigram_logprob(spark, SF)
+    n_docs = _t(spark, SF, "documents").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    # probabilities < 1 → every mean log-prob strictly negative; token
+    # counts positive
+    assert all(r["mean_logp"] < 0 and r["n_toks"] > 0 for r in rows)
+
+
+def test_intradoc_dedup_reassembly(spark):
+    from datafusion_table_providers_spark.llm.curation import d31_intradoc_dedup
+    from datafusion_table_providers_spark.operators.relational import _t
+
+    out = d31_intradoc_dedup(spark, SF)
+    docs = _t(spark, SF, "documents").select("doc_id", F.md5("text").alias("h"))
+    j = out.join(docs, "doc_id").collect()
+    assert len(j) == docs.count()  # every document survives
+    for r in j:
+        assert 1 <= r["n_kept"] <= r["n_chunks"]
+        if r["n_kept"] == r["n_chunks"]:
+            # nothing dropped → chunks reassemble to the original text
+            assert r["clean_hash"] == r["h"]
+
+
+def test_mixture_weights_normalize(spark):
+    from datafusion_table_providers_spark.llm.curation import (
+        MIX_BUDGET,
+        d32_mixture_weights,
+    )
+
+    rows = d32_mixture_weights(spark, SF).collect()
+    assert len(rows) >= 2
+    total_w = sum(r["mix_weight"] for r in rows)
+    assert total_w == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["quota_docs"] for r in rows) == pytest.approx(
+        MIX_BUDGET, abs=len(rows)
+    )
+    # alpha=0.5 upsamples small sources: weight share > doc share for the
+    # smallest source, < for the largest
+    n_total = sum(r["n_docs"] for r in rows)
+    smallest = min(rows, key=lambda r: r["n_docs"])
+    largest = max(rows, key=lambda r: r["n_docs"])
+    if smallest["n_docs"] < largest["n_docs"]:
+        assert smallest["mix_weight"] > smallest["n_docs"] / n_total
+        assert largest["mix_weight"] < largest["n_docs"] / n_total
+
+
+def test_pq_rerank_subset_of_adc_shortlist(spark):
+    from datafusion_table_providers_spark.llm.similarity import (
+        RR_TOPK,
+        d18b_pq_adc,
+        d33_pq_rerank,
+    )
+
+    rr = d33_pq_rerank(spark, SF).collect()
+    assert rr and all(1 <= r["rnk"] <= RR_TOPK for r in rr)
+    # exact distances are non-negative and non-decreasing in rank per query
+    by_q = {}
+    for r in rr:
+        by_q.setdefault(r["qid"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rnk"])
+        dists = [r["edist"] for r in rows]
+        assert all(d >= 0 for d in dists)
+        assert dists == sorted(dists)
+    # the ADC top-k and the re-ranked top-k agree on the query set
+    adc_q = {r["qid"] for r in d18b_pq_adc(spark, SF).collect()}
+    assert set(by_q) == adc_q
+
+
+def test_salted_join_row_matches_plain(spark):
+    from datafusion_table_providers_spark.operators.extensions import (
+        e10_salted_join,
+    )
+    from datafusion_table_providers_spark.operators.relational import _t
+
+    got = {r["brand"]: r["n_items"] for r in e10_salted_join(spark, SF).collect()}
+    li = _t(spark, SF, "lineitem").select("l_partkey")
+    pt = _t(spark, SF, "part").select("p_partkey", "p_brand")
+    plain = {
+        r["p_brand"]: r["n"]
+        for r in li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == plain
