@@ -829,3 +829,78 @@ SUITE["d26_fuzzy_decontaminate"] = QueryCase(
     _d26_sql(),
     "fuzzy eval-set decontamination (LSH train x eval + exact Jaccard)",
 )
+
+
+# --- d34: quality-aware duplicate-representative selection ----------------
+# Production dedup never keeps the MIN-doc_id duplicate: it keeps the
+# highest-QUALITY member of each near-duplicate cluster (the convention in
+# published curation pipelines — e.g. RefinedWeb keeps by heuristic rank).
+# Composition of two certified primitives: d12's connected components
+# (min-label propagation over the MinHash-LSH pair graph) joined to d08's
+# quality score; one window per component picks the argmax. The quality
+# column is already floor-rounded to 6 dp, so the (quality DESC, doc_id
+# ASC) order is deterministic on both engines. Scale: the join and window
+# run on the MEMBERS of duplicate clusters only (a small fraction of the
+# corpus), partitioned by component_id.
+def d34_dedup_keep_best(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from datafusion_table_providers_spark.llm.text import d08_quality
+
+    comp = d12_dedup_components(spark, sf_dir)
+    q = d08_quality(spark, sf_dir).select("doc_id", "quality")
+    m = comp.join(q, "doc_id")
+    wc = Window.partitionBy("component_id")
+    wr = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ranked = m.withColumn("n_members", F.count("*").over(wc)).withColumn(
+        "rk", F.row_number().over(wr)
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "component_id",
+        F.col("doc_id").alias("kept_doc"),
+        "n_members",
+        (F.col("n_members") - F.lit(1)).alias("n_dropped"),
+        F.col("quality").alias("kept_quality"),
+    )
+
+
+def _d34_sql() -> str:
+    from datafusion_table_providers_spark.llm.text import _d08_sql
+
+    return f"""
+WITH m AS (
+  SELECT c.component_id, c.doc_id, q.quality
+  FROM ({_d12_sql()}) c JOIN ({_d08_sql()}) q USING (doc_id)
+),
+r AS (
+  SELECT component_id, doc_id, quality,
+         CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY component_id
+                            ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM m
+)
+SELECT component_id, doc_id AS kept_doc, n_members,
+       n_members - 1 AS n_dropped, quality AS kept_quality
+FROM r WHERE rk = 1
+"""
+
+
+SUITE["d34_dedup_keep_best"] = QueryCase(
+    d34_dedup_keep_best,
+    _d34_sql(),
+    "duplicate clusters keep the highest-quality representative",
+)
+
+
+# window row: components + quality-aware representative in one slot
+d12b_components_keepbest, D12B_SQL = _merged(
+    ("d12", d12_dedup_components, _d12_sql()),
+    ("d34", d34_dedup_keep_best, _d34_sql()),
+)
+SUITE["d12b_components_keepbest"] = QueryCase(
+    d12b_components_keepbest,
+    D12B_SQL,
+    "duplicate clusters + keep-best representative (merged)",
+)

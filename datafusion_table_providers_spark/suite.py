@@ -65,6 +65,12 @@ for _mod, _attr in [
 #: DML rowcount c13) swap in for six entries already driver-green in BOTH
 #: r2 and r3 (c09, d01, d07, b11b, b16b, b24d) so every round-4 addition
 #: gets its driver row this round instead of waiting for round 5.
+#:
+#: Round-4 session-2 additions certify in-place: e10 rides e04b, d31 rides
+#: d13b, d33 rides d16b, d34 rides the components slot (d12b), d29b
+#: (d29+d30+d32) replaces r2+r3-green d08, and b31 (applyInPandasWithState
+#: sessionization vs batch oracle) replaces r2+r3-green b07c — leaving no
+#: registry capability without a driver certification across r1-r4.
 PRIORITY_WINDOW = [
     # connector family (§2.A scan/pushdown/federation/write) — 9
     "c01_duckdb_scan_pushdown",
@@ -81,7 +87,7 @@ PRIORITY_WINDOW = [
     "d03b_simhash_pairs",
     "d04b_ngram_editdist",
     "d11b_neardup_multiprobe",
-    "d12_dedup_components",
+    "d12b_components_keepbest",
     "d26_fuzzy_decontaminate",
     # similarity search + clustering — 3
     "d05b_knn_lsh",
