@@ -504,3 +504,109 @@ SUITE["e04b_stats_salted"] = QueryCase(
     E04B_SQL,
     "stats aggregates + salted two-phase agg + salted join (merged)",
 )
+
+
+# --- e11: heavy hitters via Misra-Gries partial summaries ------------------
+# The bounded-memory frequent-items pattern (Misra & Gries 1982): each
+# partition keeps at most MG_K counters (weighted variant — batches are
+# pre-aggregated with value_counts, and an eviction subtracts the min from
+# all k+1 logical counters, so every decrement unit cancels k+1 real
+# occurrences). Partition summaries are tiny (≤ MG_K rows each) and merge
+# by summing. At 100 TB this replaces a full groupBy over a high-cardinality
+# key with a constant-memory single pass + an O(partitions × K) merge.
+#
+# Like e08, the ORACLE contract is the proven guarantees, not the
+# engine-specific estimates: for every item with true_n > N/(K+1) —
+# 1) found: the merged summary MUST contain it (guaranteed recall);
+# 2) no_overcount: summed counters never exceed the true count;
+# 3) bound_ok: undercount ≤ N/(K+1) (integer-exact comparison).
+# The oracle computes the heavy set exactly and asserts the three booleans
+# TRUE; a broken sketch flips a boolean and fails the row. MG_K=4 over the
+# 5-valued event_type stream forces real evictions in every partition while
+# leaving the ~20%-share types above the N/5 threshold.
+MG_K = 4
+
+
+def _mg_add(counters: dict, item, c: int, k: int = MG_K) -> None:
+    if item in counters:
+        counters[item] += c
+        return
+    if len(counters) < k:
+        counters[item] = c
+        return
+    m = min(counters.values())
+    if c <= m:
+        dec = c  # the new item is absorbed entirely
+        newc = 0
+    else:
+        dec = m
+        newc = c - m
+    for t in list(counters):
+        counters[t] -= dec
+        if counters[t] == 0:
+            del counters[t]
+    if newc:
+        counters[item] = newc
+
+
+def e11_heavy_hitters(spark, sf_dir):
+    import pandas as pd
+
+    items = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("item")
+    )
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                _mg_add(counters, item, int(c))
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "est": list(counters.values())}
+            )
+
+    summary = items.mapInPandas(mg_partition, schema="item string, est long")
+    est = summary.groupBy("item").agg(F.sum("est").alias("est"))
+    exact = items.groupBy("item").agg(F.count("*").alias("true_n"))
+    total = items.agg(F.count("*").alias("n_total"))
+    heavy = exact.crossJoin(F.broadcast(total)).where(
+        F.col("true_n") * (MG_K + 1) > F.col("n_total")
+    )
+    out = heavy.join(est, "item", "left")
+    return out.select(
+        "item",
+        "true_n",
+        F.col("est").isNotNull().alias("found"),
+        (F.coalesce("est", F.lit(0)) <= F.col("true_n")).alias("no_overcount"),
+        (
+            (F.col("true_n") - F.coalesce("est", F.lit(0))) * (MG_K + 1)
+            <= F.col("n_total")
+        ).alias("bound_ok"),
+    )
+
+
+E11_SQL = f"""
+WITH exact AS (SELECT event_type AS item, COUNT(*) AS true_n FROM events GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM events)
+SELECT item, true_n, TRUE AS found, TRUE AS no_overcount, TRUE AS bound_ok
+FROM exact CROSS JOIN tot WHERE true_n * {MG_K + 1} > n_total
+"""
+
+SUITE["e11_heavy_hitters"] = QueryCase(
+    e11_heavy_hitters,
+    E11_SQL,
+    "Misra-Gries heavy hitters: partial summaries, certified guarantees",
+)
+
+
+# sketch family window row: HLL/quantile bounds + Misra-Gries guarantees
+e08b_sketches, E08B_SQL = _merged(
+    ("e08", e08_sketch_bounds, E08_SQL),
+    ("e11", e11_heavy_hitters, E11_SQL),
+)
+SUITE["e08b_sketches"] = QueryCase(
+    e08b_sketches,
+    E08B_SQL,
+    "sketches: HLL + approx-quantile bounds + MG heavy hitters (merged)",
+)

@@ -69,8 +69,9 @@ for _mod, _attr in [
 #: Round-4 session-2 additions certify in-place: e10 rides e04b, d31 rides
 #: d13b, d33 rides d16b, d34 rides the components slot (d12b), d29b
 #: (d29+d30+d32) replaces r2+r3-green d08, and b31 (applyInPandasWithState
-#: sessionization vs batch oracle) replaces r2+r3-green b07c — leaving no
-#: registry capability without a driver certification across r1-r4.
+#: sessionization vs batch oracle) replaces r2+r3-green b07c, and e11
+#: (Misra-Gries heavy hitters) rides the e08 sketch slot (e08b) — leaving
+#: no registry capability without a driver certification across r1-r4.
 PRIORITY_WINDOW = [
     # connector family (§2.A scan/pushdown/federation/write) — 9
     "c01_duckdb_scan_pushdown",
@@ -117,7 +118,7 @@ PRIORITY_WINDOW = [
     "e01b_interval_joins",
     "e03b_distributions",
     "e04b_stats_salted",
-    "e08_sketch_bounds",
+    "e08b_sketches",
     # vector compression: int8 scalar + PQ encode + ADC (merged) — 1
     "d16b_vector_compression",
     # relational surface (merged-coverage rows) + streaming parity — 12

@@ -118,3 +118,59 @@ def test_salted_join_row_matches_plain(spark):
         .collect()
     }
     assert got == plain
+
+
+def test_misra_gries_guarantees_on_zipf(spark):
+    """The MG guarantees must hold under heavy eviction pressure: a zipf
+    stream with a long tail (500 distinct items, K=4 counters). For every
+    item with true_n > N/(K+1): present in the sketch, never overcounted,
+    undercount <= N/(K+1). Driven through the real mapInPandas path."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from datafusion_table_providers_spark.operators.extensions import (
+        MG_K,
+        _mg_add,
+    )
+
+    # deterministic zipf-ish stream: one dominant item (~30% of the
+    # stream, safely above the N/(K+1) threshold) over a 500-item tail
+    items = ["i1"] * 8000
+    for i in range(2, 501):
+        items.extend([f"i{i}"] * (3000 // i))
+    # fixed interleave (worst for MG is adversarial ordering; a stride
+    # shuffle is plenty and keeps the test deterministic)
+    items = [items[(j * 7919) % len(items)] for j in range(len(items))]
+    n_total = len(items)
+
+    df = spark.createDataFrame(pd.DataFrame({"item": items})).repartition(8)
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                _mg_add(counters, item, int(c))
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "est": list(counters.values())}
+            )
+
+    est = {
+        r["item"]: r["s"]
+        for r in df.mapInPandas(mg_partition, schema="item string, est long")
+        .groupBy("item")
+        .agg(F.sum("est").alias("s"))
+        .collect()
+    }
+    true = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    bound = n_total / (MG_K + 1)
+    heavies = [t for t, n in true.items() if n > bound]
+    assert heavies  # i1 (~3000 of ~20k) is heavy at K=4
+    for t in heavies:
+        assert t in est, f"heavy hitter {t} missing from sketch"
+    for t, e in est.items():
+        assert e <= true[t], f"{t} overcounted: {e} > {true[t]}"
+        assert true[t] - e <= bound, f"{t} undercount beyond bound"
