@@ -46,3 +46,29 @@ def write_training_shards(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet CLUSTERED on ``cluster_by``: range-repartition so each
+    output file owns a disjoint key range, then sort within partitions so
+    row-group min/max stats are tight.
+
+    This is the layout move that makes a 100 TB corpus cheap to query: a
+    reader filtering on the cluster key prunes whole files from the parquet
+    footers alone (file skipping), and row-group stats prune within the
+    files that remain. Without it, every file spans the full key range and
+    a selective filter still scans everything. Same idea as Delta/Iceberg
+    OPTIMIZE ZORDER for the single-key case, in plain Spark + parquet."""
+    cols = [df[c] for c in cluster_by]
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -168,9 +168,59 @@ def test_misra_gries_guarantees_on_zipf(spark):
     }
     bound = n_total / (MG_K + 1)
     heavies = [t for t, n in true.items() if n > bound]
-    assert heavies  # i1 (~3000 of ~20k) is heavy at K=4
+    assert heavies  # i1 (~8000 of ~25k) is heavy at K=4
     for t in heavies:
         assert t in est, f"heavy hitter {t} missing from sketch"
     for t, e in est.items():
         assert e <= true[t], f"{t} overcounted: {e} > {true[t]}"
         assert true[t] - e <= bound, f"{t} undercount beyond bound"
+
+
+def test_clustered_write_enables_file_pruning(spark, tmp_path):
+    """write_clustered must produce files with DISJOINT cluster-key ranges
+    (footer min/max), so a selective reader skips whole files; an
+    unclustered write of the same data spans the full range in every file
+    and can prune nothing."""
+    import pyarrow.parquet as pq
+
+    from datafusion_table_providers_spark.operators.relational import _t
+    from datafusion_table_providers_spark.write.output import write_clustered
+
+    df = _t(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+
+    clustered = str(tmp_path / "clustered")
+    write_clustered(df, clustered, ["o_orderkey"], num_files=4)
+    plain = str(tmp_path / "plain")
+    df.repartition(4).write.mode("overwrite").parquet(plain)
+
+    def key_ranges(root):
+        import os as _os
+
+        ranges = []
+        for f in _os.listdir(root):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(_os.path.join(root, f)).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # o_orderkey
+                los.append(col.statistics.min)
+                his.append(col.statistics.max)
+            ranges.append((min(los), max(his)))
+        return sorted(ranges)
+
+    cr = key_ranges(clustered)
+    assert len(cr) >= 3
+    # disjoint: each file's max < next file's min (range partitioner)
+    assert all(hi < next_lo for (_, hi), (next_lo, _) in zip(cr, cr[1:]))
+
+    pr = key_ranges(plain)
+    # round-robin files all span (nearly) the full key range — overlap
+    assert any(hi >= next_lo for (_, hi), (next_lo, _) in zip(pr, pr[1:]))
+
+    # end to end: a point-range filter over the clustered layout returns
+    # the same rows as over the plain one (layout never changes results)
+    lo = cr[1][0]
+    got = spark.read.parquet(clustered).filter(f"o_orderkey >= {lo}").count()
+    want = spark.read.parquet(plain).filter(f"o_orderkey >= {lo}").count()
+    assert got == want
