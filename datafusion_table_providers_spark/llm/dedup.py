@@ -904,3 +904,54 @@ SUITE["d12b_components_keepbest"] = QueryCase(
     D12B_SQL,
     "duplicate clusters + keep-best representative (merged)",
 )
+
+
+# --- d35: ensemble near-duplicate verdict ---------------------------------
+# Production dedup at scale runs SEVERAL cheap near-dup detectors and
+# trusts only their agreement (each method has distinct false-positive
+# modes: MinHash misses low-Jaccard paraphrases, SimHash collides on
+# short texts, n-gram Jaccard over-fires on boilerplate). The ensemble
+# verdict — a pair is a duplicate iff >= 2 of {minhash, simhash, ngram}
+# flag it — is a pure composition: union the three certified pair tables
+# with method tags, one groupBy on the pair key. No new shuffle shape;
+# candidate generation stays bucketed in each underlying method.
+def d35_ensemble_neardup(spark, sf_dir):
+    mh = d02b_minhash_lsh_pairs(spark, sf_dir).select(
+        "da", "db", F.lit("minhash").alias("method")
+    )
+    sh = d03b_simhash_pairs(spark, sf_dir).select(
+        "da", "db", F.lit("simhash").alias("method")
+    )
+    ng = d04_ngram_jaccard(spark, sf_dir).select(
+        "da", "db", F.lit("ngram").alias("method")
+    )
+    u = mh.unionByName(sh).unionByName(ng)
+    agg = u.groupBy("da", "db").agg(
+        F.countDistinct("method").alias("n_methods"),
+        F.array_join(F.array_sort(F.collect_set("method")), ",").alias(
+            "methods"
+        ),
+    )
+    return agg.filter(F.col("n_methods") >= 2)
+
+
+def _d35_sql() -> str:
+    return f"""
+WITH u AS (
+  SELECT da, db, 'minhash' AS method FROM ({_d02b_sql()})
+  UNION ALL
+  SELECT da, db, 'simhash' AS method FROM ({_d03b_sql()})
+  UNION ALL
+  SELECT da, db, 'ngram' AS method FROM ({_D04_SQL})
+)
+SELECT da, db, COUNT(DISTINCT method) AS n_methods,
+       string_agg(DISTINCT method, ',' ORDER BY method) AS methods
+FROM u GROUP BY da, db HAVING COUNT(DISTINCT method) >= 2
+"""
+
+
+SUITE["d35_ensemble_neardup"] = QueryCase(
+    d35_ensemble_neardup,
+    _d35_sql(),
+    "ensemble near-dup verdict (pair flagged by >=2 of 3 methods)",
+)

@@ -263,3 +263,94 @@ SUITE = {
         "full curation capstone (quality → dedup → decontaminate → sample → pack)",
     ),
 }
+
+
+# --- p03: corpus statistics report (dataset-card numbers) ------------------
+# The summary every dataset release publishes (docs/tokens/vocabulary,
+# duplication rate, quality pass rate, per-source balance): eight scalar
+# aggregates unioned into one (metric, value) table. Each metric is a
+# single-pass aggregate over one scan family; the union is driver-free and
+# the output is eight rows regardless of corpus size. Integer-only values
+# (counts), so the driver's bit-strict hash has no float exposure.
+def p03_corpus_report(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+
+    def m(name, df):
+        return df.select(
+            F.lit(name).alias("metric"), F.col("value").cast("long").alias("value")
+        )
+
+    n_docs = m("n_docs", d.agg(F.count("*").alias("value")))
+    n_tokens = m("n_tokens", toks.agg(F.count("*").alias("value")))
+    vocab = m("vocab_size", toks.agg(F.countDistinct("tok").alias("value")))
+    n_sources = m(
+        "n_sources", d.agg(F.countDistinct("source").alias("value"))
+    )
+    n_langs = m("n_langs", d.agg(F.countDistinct("lang").alias("value")))
+    # docs whose exact text occurs more than once (exact-dup exposure)
+    dup_docs = m(
+        "exact_dup_docs",
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("value")),
+    )
+    # Gopher-rule pass count (d28's exact rule bundle)
+    from datafusion_table_providers_spark.llm.text import d28_gopher_rules
+
+    gopher = m(
+        "gopher_pass_docs",
+        d28_gopher_rules(spark, sf_dir)
+        .where(F.col("gopher_pass"))
+        .agg(F.count("*").alias("value")),
+    )
+    # balance: docs in the largest single source (skew indicator)
+    max_src = m(
+        "max_source_docs",
+        d.groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("value")),
+    )
+    out = n_docs
+    for part in (n_tokens, vocab, n_sources, n_langs, dup_docs, gopher, max_src):
+        out = out.unionByName(part)
+    return out
+
+
+def _p03_sql() -> str:
+    from datafusion_table_providers_spark.llm.text import _d28_sql
+
+    return f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+tt AS (SELECT tok FROM t WHERE tok <> '')
+SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT 'n_tokens', CAST(COUNT(*) AS BIGINT) FROM tt
+UNION ALL
+SELECT 'vocab_size', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM tt
+UNION ALL
+SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'exact_dup_docs', CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+  SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY 1
+) WHERE c > 1
+UNION ALL
+SELECT 'gopher_pass_docs', CAST(COUNT(*) AS BIGINT)
+FROM ({_d28_sql()}) WHERE gopher_pass
+UNION ALL
+SELECT 'max_source_docs', CAST(MAX(c) AS BIGINT) FROM (
+  SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+)
+"""
+
+
+SUITE["p03_corpus_report"] = QueryCase(
+    p03_corpus_report,
+    _p03_sql(),
+    "dataset-card corpus report (8 scalar metrics, one row each)",
+)
