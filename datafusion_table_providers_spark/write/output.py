@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_training_shards(
@@ -72,3 +73,47 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_key(cols: Sequence[str], bits: int = 16):
+    """Z-order (Morton) key over 2+ numeric columns as a pure Column
+    expression: each column is rank-normalized to ``bits`` bits by the
+    caller (or passed raw when already small ints), then bits interleave.
+
+    Interleaving keeps locality in EVERY dimension, so range-partitioning
+    on the key gives each output file a bounded range in each column —
+    footer min/max stats prune on any filtered dimension, not just the
+    first sort key. This is the multi-column layout move (Delta/Iceberg
+    OPTIMIZE ZORDER) in plain Spark expressions."""
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit.cast("long"), b * n + i)
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    num_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet z-ordered on 2+ numeric columns: range-partition +
+    sort on the Morton key so every file is a compact hyper-rectangle and
+    selective filters on ANY of the cluster columns skip files."""
+    tmp = "__zkey"
+    out = df.withColumn(tmp, zorder_key(cluster_by, bits))
+    (
+        out.repartitionByRange(num_files, F.col(tmp))
+        .sortWithinPartitions(tmp)
+        .drop(tmp)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
