@@ -843,15 +843,22 @@ SUITE["d29_bpe_pair_stats"] = QueryCase(
 
 # --- d30: unigram-LM document scoring (perplexity proxy) ------------------
 # The cheap quality signal most curation stacks compute before a real LM
-# perplexity pass: mean token log-probability under the corpus's own
-# unigram distribution (CCNet-style, Wenzek et al. 2020 — public). Two
-# shuffles at any scale: token counts (vocabulary-sized result) and the
-# token→frequency equi-join (AQE broadcasts the frequency table when the
-# vocabulary is small). Per-token log-probs are rounded to a scaled BIGINT
-# before summing so the per-doc aggregate is an integer sum —
-# order-independent, immune to float accumulation-order drift (the e04
-# lesson); the single trailing division is the only float op.
-LOGP_SCALE = 1_000_000
+# perplexity pass: mean token SURPRISAL under the corpus's own unigram
+# distribution (CCNet-style, Wenzek et al. 2020 — public). Two shuffles at
+# any scale: token counts (vocabulary-sized result) and the token→frequency
+# equi-join (AQE broadcasts the frequency table when the vocabulary is
+# small).
+#
+# Determinism: the textbook score uses ln(p), but JVM Math.log and
+# DuckDB/libm ln disagree in the last ULP (measured in the d21 BM25 work:
+# 8/172 probed inputs), so a floor(ln·scale) fixed-point value can flip
+# cross-engine on unlucky data. Per-token surprisal is therefore computed
+# as INTEGER bits: bits = floor(log2(total/n)) via LENGTH(bin(q))-1 on the
+# integer quotient — a string-length operation both engines evaluate
+# exactly, no transcendental anywhere. Per-doc aggregates are integer sums
+# (order-independent, the e04 lesson); the single trailing division is the
+# only float op. Monotone in token rarity, so ranking semantics match the
+# ln variant at 1-bit granularity.
 
 
 def d30_unigram_logprob(spark, sf_dir):
@@ -861,47 +868,51 @@ def d30_unigram_logprob(spark, sf_dir):
     ).where(F.col("tok") != "")
     freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
     total = toks.agg(F.count("*").alias("total"))
-    lp = F.floor(
-        F.log(F.col("n").cast("double") / F.col("total")) * F.lit(float(LOGP_SCALE))
-        + F.lit(0.5)
-    ).cast("long")
-    freq_lp = freq.crossJoin(F.broadcast(total)).select("tok", lp.alias("lp"))
-    per_doc = toks.join(freq_lp, "tok").groupBy("doc_id").agg(
-        F.count("*").alias("n_toks"), F.sum("lp").alias("sum_lp")
+    # q = floor(total/n) >= 1; bits = floor(log2(q)) = LENGTH(bin(q)) - 1.
+    # The double division is exact enough that floor agrees with true
+    # integer division here (operands << 2^53), and both engines run the
+    # identical IEEE expression either way.
+    q = F.floor(F.col("total").cast("double") / F.col("n")).cast("long")
+    bits = (F.length(F.bin(q)) - F.lit(1)).cast("long")
+    freq_bits = freq.crossJoin(F.broadcast(total)).select(
+        "tok", bits.alias("bits")
+    )
+    per_doc = toks.join(freq_bits, "tok").groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"), F.sum("bits").alias("sum_bits")
     )
     return per_doc.select(
         "doc_id",
         "n_toks",
         _r(
-            F.col("sum_lp").cast("double")
-            / (F.lit(float(LOGP_SCALE)) * F.col("n_toks")),
+            F.col("sum_bits").cast("double") / F.col("n_toks"),
             6,
-        ).alias("mean_logp"),
+        ).alias("mean_surprisal_bits"),
     )
 
 
-_D30_SQL = f"""
+_D30_SQL = """
 WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
 f AS (SELECT tok, COUNT(*) AS n FROM tt GROUP BY tok),
 tot AS (SELECT COUNT(*) AS total FROM tt),
-lp AS (
+b AS (
   SELECT tok,
-         CAST(FLOOR(ln(CAST(n AS DOUBLE) / total) * {LOGP_SCALE}.0 + 0.5) AS BIGINT) AS lp
+         CAST(LENGTH(bin(CAST(FLOOR(CAST(total AS DOUBLE) / n) AS BIGINT))) - 1
+              AS BIGINT) AS bits
   FROM f CROSS JOIN tot
 ),
 pd AS (
-  SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(lp) AS BIGINT) AS sum_lp
-  FROM tt JOIN lp USING (tok) GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(bits) AS BIGINT) AS sum_bits
+  FROM tt JOIN b USING (tok) GROUP BY doc_id
 )
 SELECT doc_id, n_toks,
-       {_rsql(f'CAST(sum_lp AS DOUBLE) / ({LOGP_SCALE}.0 * n_toks)', 6)} AS mean_logp
+       {r} AS mean_surprisal_bits
 FROM pd
-"""
+""".format(r=_rsql('CAST(sum_bits AS DOUBLE) / n_toks', 6))
 
 
 SUITE["d30_unigram_logprob"] = QueryCase(
     d30_unigram_logprob,
     _D30_SQL,
-    "unigram-LM mean log-prob quality score (integer-sum determinism)",
+    "unigram-LM mean surprisal bits (fully integer determinism)",
 )

@@ -549,24 +549,26 @@ def _mg_add(counters: dict, item, c: int, k: int = MG_K) -> None:
         counters[item] = newc
 
 
-def e11_heavy_hitters(spark, sf_dir):
+def _mg_partition(batches):
+    """mapInPandas stage: fold every batch of an ``item`` column into one
+    Misra-Gries summary per partition (shared by e11 and its tests)."""
     import pandas as pd
 
+    counters: dict = {}
+    for pdf in batches:
+        for item, c in pdf["item"].value_counts().items():
+            _mg_add(counters, item, int(c))
+    if counters:
+        yield pd.DataFrame(
+            {"item": list(counters), "est": list(counters.values())}
+        )
+
+
+def e11_heavy_hitters(spark, sf_dir):
     items = _t(spark, sf_dir, "events").select(
         F.col("event_type").alias("item")
     )
-
-    def mg_partition(batches):
-        counters: dict = {}
-        for pdf in batches:
-            for item, c in pdf["item"].value_counts().items():
-                _mg_add(counters, item, int(c))
-        if counters:
-            yield pd.DataFrame(
-                {"item": list(counters), "est": list(counters.values())}
-            )
-
-    summary = items.mapInPandas(mg_partition, schema="item string, est long")
+    summary = items.mapInPandas(_mg_partition, schema="item string, est long")
     est = summary.groupBy("item").agg(F.sum("est").alias("est"))
     exact = items.groupBy("item").agg(F.count("*").alias("true_n"))
     total = items.agg(F.count("*").alias("n_total"))

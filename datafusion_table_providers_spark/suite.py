@@ -102,8 +102,7 @@ PRIORITY_WINDOW = [
     "d10b_fingerprint_repetition",
     "d27_vocab_stats",
     "d28_gopher_rules",
-    # curation: decontamination+PII-scrub+paragraph-dedup / sampling /
-    # packing — 3 rows, 5 ops (d13b merges d13+d24+d25, r3)
+    # curation — 3 rows, 6 ops (d13b merges d13+d24+d25+d31)
     "d13b_curation_scrub",
     "d14_stratified_sample",
     "d15_sequence_packing",
@@ -113,15 +112,15 @@ PRIORITY_WINDOW = [
     "m03b_resize_features",
     "p01b_pipelines",
     "p02_full_curation",
-    # extension operators — 4 entries / 8 ops (e01+e02, e03+e06+e09,
-    # e04+e07 merged)
+    # extension operators — 4 entries / 10 ops (e01+e02, e03+e06+e09,
+    # e04+e07+e10, e08+e11 merged)
     "e01b_interval_joins",
     "e03b_distributions",
     "e04b_stats_salted",
     "e08b_sketches",
     # vector compression: int8 scalar + PQ encode + ADC (merged) — 1
     "d16b_vector_compression",
-    # relational surface (merged-coverage rows) + streaming parity — 12
+    # relational surface (merged-coverage rows) + streaming parity — 11
     "b01c_scan_case",
     # (b07c rotates out r2+r3-certified; EXISTS/NOT-EXISTS shapes stay
     # exercised in-window via t04b's Q4; b31 certifies the custom stateful

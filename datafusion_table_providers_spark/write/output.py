@@ -86,6 +86,14 @@ def zorder_key(cols: Sequence[str], bits: int = 16):
     first sort key. This is the multi-column layout move (Delta/Iceberg
     OPTIMIZE ZORDER) in plain Spark expressions."""
     n = len(cols)
+    if n * bits > 63:
+        # bit n*bits-1 must stay below the sign bit of the 64-bit key;
+        # beyond 63 Spark's shiftleft also wraps the shift amount mod 64,
+        # silently colliding bits — refuse instead of degrading layout
+        raise ValueError(
+            f"zorder_key: {n} cols x {bits} bits = {n * bits} key bits > 63; "
+            "lower bits= so n*bits <= 63"
+        )
     key = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):

@@ -35,9 +35,11 @@ def test_unigram_logprob_bounds(spark):
     n_docs = _t(spark, SF, "documents").count()
     rows = out.collect()
     assert len(rows) == n_docs
-    # probabilities < 1 → every mean log-prob strictly negative; token
-    # counts positive
-    assert all(r["mean_logp"] < 0 and r["n_toks"] > 0 for r in rows)
+    # every token's surprisal is >= 0 bits (p <= 1); token counts positive
+    assert all(r["mean_surprisal_bits"] >= 0 and r["n_toks"] > 0 for r in rows)
+    # the corpus has no token covering half the stream, so some surprisal
+    # must register
+    assert any(r["mean_surprisal_bits"] > 0 for r in rows)
 
 
 def test_intradoc_dedup_reassembly(spark):
@@ -130,7 +132,7 @@ def test_misra_gries_guarantees_on_zipf(spark):
 
     from datafusion_table_providers_spark.operators.extensions import (
         MG_K,
-        _mg_add,
+        _mg_partition,
     )
 
     # deterministic zipf-ish stream: one dominant item (~30% of the
@@ -145,19 +147,9 @@ def test_misra_gries_guarantees_on_zipf(spark):
 
     df = spark.createDataFrame(pd.DataFrame({"item": items})).repartition(8)
 
-    def mg_partition(batches):
-        counters: dict = {}
-        for pdf in batches:
-            for item, c in pdf["item"].value_counts().items():
-                _mg_add(counters, item, int(c))
-        if counters:
-            yield pd.DataFrame(
-                {"item": list(counters), "est": list(counters.values())}
-            )
-
     est = {
         r["item"]: r["s"]
-        for r in df.mapInPandas(mg_partition, schema="item string, est long")
+        for r in df.mapInPandas(_mg_partition, schema="item string, est long")
         .groupBy("item")
         .agg(F.sum("est").alias("s"))
         .collect()
@@ -282,3 +274,10 @@ def test_zordered_write_bounds_both_dimensions(spark, tmp_path):
         spark.read.parquet(zpath).filter("x < 32 AND y < 32").count()
         == df.filter("x < 32 AND y < 32").count()
     )
+
+
+def test_zorder_key_refuses_overflow(spark):
+    from datafusion_table_providers_spark.write.output import zorder_key
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits > 63
