@@ -726,12 +726,18 @@ def d28_gopher_rules(spark, sf_dir):
     n_stop = sum(
         F.array_contains(words, s).cast("int") for s in _D28_STOPWORDS
     )
+    # empty documents (n_words == 0) must yield NULL ratios, not a
+    # DIVIDE_BY_ZERO crash (Spark 4 runs ANSI mode by default) — one bad
+    # row must never kill a 100 TB job
+    def _safe(expr, dec):
+        return F.when(n_words > 0, _r(expr, dec))
+
     out = d.select(
         "doc_id",
         n_words.alias("n_words"),
-        _r(mean_wl, 4).alias("mean_word_len"),
-        _r(n_sym.cast("double") / n_words, 6).alias("symbol_ratio"),
-        _r(n_alpha.cast("double") / n_words, 6).alias("alpha_frac"),
+        _safe(mean_wl, 4).alias("mean_word_len"),
+        _safe(n_sym.cast("double") / n_words, 6).alias("symbol_ratio"),
+        _safe(n_alpha.cast("double") / n_words, 6).alias("alpha_frac"),
         n_stop.alias("n_stop_hits"),
     )
     return out.withColumn(
@@ -760,17 +766,21 @@ WITH base AS (
 m AS (
   SELECT doc_id,
          len(w) AS n_words,
-         CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS mwl,
-         CAST(n_sym AS DOUBLE) / len(w) AS symr,
-         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-           / len(w) AS af,
+         CASE WHEN len(w) = 0 THEN NULL ELSE
+           CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+         END AS mwl,
+         CASE WHEN len(w) = 0 THEN NULL ELSE
+           CAST(n_sym AS DOUBLE) / len(w) END AS symr,
+         CASE WHEN len(w) = 0 THEN NULL ELSE
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           / len(w) END AS af,
          CAST({stop_terms} AS INT) AS n_stop_hits
   FROM base
 )
 SELECT doc_id, n_words,
-       {_rsql('mwl', 4)} AS mean_word_len,
-       {_rsql('symr', 6)} AS symbol_ratio,
-       {_rsql('af', 6)} AS alpha_frac,
+       CASE WHEN n_words = 0 THEN NULL ELSE {_rsql('mwl', 4)} END AS mean_word_len,
+       CASE WHEN n_words = 0 THEN NULL ELSE {_rsql('symr', 6)} END AS symbol_ratio,
+       CASE WHEN n_words = 0 THEN NULL ELSE {_rsql('af', 6)} END AS alpha_frac,
        n_stop_hits,
        (n_words >= 50 AND n_words <= 100000
         AND {_rsql('mwl', 4)} >= 3.0 AND {_rsql('mwl', 4)} <= 10.0
