@@ -76,12 +76,32 @@ def _assert_parity(spark, sf_dir, name):
 @pytest.mark.parametrize(
     "name",
     [
+        "d01_exact_dedup",
+        "d02b_minhash_lsh_pairs",
+        "d03b_simhash_pairs",
+        "d04_ngram_jaccard",
+        "d07_langid",
+        "d08_quality",
+        "d09_token_count",
+        "d10_fingerprint",
+        "d13_decontaminate",
+        "d14_stratified_sample",
+        "d15_sequence_packing",
+        "d19_repetition",
+        "d21_bm25",
+        "d22_editdist_neardup",
+        "d23_phrase_search",
+        "d24_pii_scrub",
+        "d25_paragraph_dedup",
+        "d26_fuzzy_decontaminate",
         "d27_vocab_stats",
         "d28_gopher_rules",
         "d29_bpe_pair_stats",
         "d30_unigram_logprob",
         "d31_intradoc_dedup",
         "d32_mixture_weights",
+        "d34_dedup_keep_best",
+        "d35_ensemble_neardup",
         "p03_corpus_report",
     ],
 )
