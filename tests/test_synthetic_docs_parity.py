@@ -107,3 +107,95 @@ def _assert_parity(spark, sf_dir, name):
 )
 def test_edge_docs_parity(spark, edge_sf_dir, name):
     _assert_parity(spark, edge_sf_dir, name)
+
+
+# --- events-only operators over crafted edge events -----------------------
+EDGE_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    # user 1: two events at the SAME timestamp (event_id tiebreak)
+    (1, "2024-01-01 00:00:00", 1, "click", 1.0, "p1"),
+    (2, "2024-01-01 00:00:00", 1, "purchase", 2.5, "p1"),
+    # user 2: a single event
+    (3, "2024-01-01 01:00:00", 2, "view", -3.25, "p2"),
+    # user 3: gap EXACTLY 30 min (boundary: > gap starts a session, == does
+    # not) then one clearly-new session
+    (4, "2024-01-02 00:00:00", 3, "click", 0.0, "p3"),
+    (5, "2024-01-02 00:30:00", 3, "click", 4.0, "p3"),
+    (6, "2024-01-02 02:00:01", 3, "purchase", 8.125, "p3"),
+    # user 4: events straddling a 6h window boundary exactly
+    (7, "2024-01-03 05:59:59.999999", 4, "signup", 10.0, "p4"),
+    (8, "2024-01-03 06:00:00", 4, "signup", 20.0, "p4"),
+    # duplicate props content across users (stream-dedup fodder)
+    (9, "2024-01-03 07:00:00", 5, "error", 7.5, "p1"),
+    (10, "2024-01-03 08:00:00", 5, "click", 0.5, "p5"),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(tmp_path_factory):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_events")
+    pdf = pd.DataFrame(
+        [
+            {
+                "event_id": i,
+                "ts": pd.Timestamp(ts),
+                "user_id": u,
+                "event_type": et,
+                "value": v,
+                "props": p,
+            }
+            for i, ts, u, et, v, p in EDGE_EVENTS
+        ]
+    )
+    # micros, tz-less — the round-2+ driver testdata format
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(
+        tbl, str(d / "events.parquet"), coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    return str(d)
+
+
+def _assert_events_parity(spark, sf_dir, name):
+    from datafusion_table_providers_spark.suite import FULL_SUITE
+
+    case = FULL_SUITE[name]
+    df = case.fn(spark, sf_dir)
+    s_cols = df.columns
+    s_rows = [tuple(r) for r in df.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    cur = con.execute(case.oracle)
+    o_cols = [c[0] for c in cur.description]
+    o_rows = cur.fetchall()
+
+    assert sorted(s_cols) == sorted(o_cols), (s_cols, o_cols)
+    assert rows_key(s_cols, s_rows) == rows_key(o_cols, o_rows), name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "b26_event_window",
+        "b27_sessionize",
+        "e01_asof_join",
+        "e02_range_join",
+        "e03_percentiles",
+        "e06_histogram",
+        "e09_rollup_cascade",
+        "e11_heavy_hitters",
+        "b28_stream_batch_parity",
+        "b29_stream_windowed_counts",
+        "b30_stream_dedup",
+        "b31_stream_sessions",
+    ],
+)
+def test_edge_events_parity(spark, edge_events_dir, name):
+    _assert_events_parity(spark, edge_events_dir, name)
