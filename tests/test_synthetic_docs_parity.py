@@ -199,3 +199,67 @@ def _assert_events_parity(spark, sf_dir, name):
 )
 def test_edge_events_parity(spark, edge_events_dir, name):
     _assert_events_parity(spark, edge_events_dir, name)
+
+
+# --- embeddings-only operators over crafted edge vectors ------------------
+@pytest.fixture(scope="module")
+def edge_embeddings_dir(tmp_path_factory):
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("edge_emb")
+    DIM = 64
+
+    def vec(seed):
+        # deterministic pseudo-vector; varied magnitudes incl. negatives
+        return [((seed * 31 + i * 7) % 13 - 6) / 4.0 for i in range(DIM)]
+
+    rows = []
+    for i in range(20):
+        if i == 6:
+            v = [0.0] * DIM  # ZERO vector: cosine is 0/0 — must not crash
+        elif i == 5:
+            v = vec(0)  # exact duplicate of vec_id 0
+        else:
+            v = vec(i)
+        rows.append({"vec_id": i, "embedding": v, "label": i % 3})
+    pd.DataFrame(rows).to_parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def _assert_emb_parity(spark, sf_dir, name):
+    from datafusion_table_providers_spark.suite import FULL_SUITE
+
+    case = FULL_SUITE[name]
+    df = case.fn(spark, sf_dir)
+    s_cols = df.columns
+    s_rows = [tuple(r) for r in df.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    cur = con.execute(case.oracle)
+    o_cols = [c[0] for c in cur.description]
+    o_rows = cur.fetchall()
+
+    assert sorted(s_cols) == sorted(o_cols), (s_cols, o_cols)
+    assert rows_key(s_cols, s_rows) == rows_key(o_cols, o_rows), name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "d05_knn_bruteforce",
+        "d06_lsh_ann",
+        "d06b_ivf_ann",
+        "d11_embedding_neardup",
+        "d16_embedding_quantize",
+        "d17_kmeans_clusters",
+        "d18_pq_encode",
+        "d18b_pq_adc",
+        "d20_semdedup",
+        "d33_pq_rerank",
+    ],
+)
+def test_edge_embeddings_parity(spark, edge_embeddings_dir, name):
+    _assert_emb_parity(spark, edge_embeddings_dir, name)
