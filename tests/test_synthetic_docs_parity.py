@@ -263,3 +263,54 @@ def _assert_emb_parity(spark, sf_dir, name):
 )
 def test_edge_embeddings_parity(spark, edge_embeddings_dir, name):
     _assert_emb_parity(spark, edge_embeddings_dir, name)
+
+
+# --- property-based: RANDOM corpora, same parity contract -----------------
+# hypothesis generates small corpora over an adversarial alphabet (runs of
+# spaces, unicode, punctuation, empty/whitespace-only texts); each example
+# writes a parquet corpus and compares builder vs oracle with the driver
+# canonicalizer. Fixed seed profile keeps CI deterministic.
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except Exception:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _TEXT = st.text(
+        alphabet=list("ab xü.#") + [" "], min_size=0, max_size=40
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=st.lists(_TEXT, min_size=1, max_size=10))
+    def test_random_corpus_parity(spark, tmp_path_factory, texts):
+        import pandas as pd
+
+        d = tmp_path_factory.mktemp("rand_sf")
+        pdf = pd.DataFrame(
+            [
+                {
+                    "doc_id": i,
+                    "text": t,
+                    "lang": ["en", "de"][i % 2],
+                    "source": f"s{i % 3}",
+                    "n_chars": len(t),
+                }
+                for i, t in enumerate(texts)
+            ]
+        )
+        pdf.to_parquet(str(d / "documents.parquet"))
+        for name in (
+            "d27_vocab_stats",
+            "d28_gopher_rules",
+            "d29_bpe_pair_stats",
+            "d30_unigram_logprob",
+            "d31_intradoc_dedup",
+        ):
+            _assert_parity(spark, str(d), name)
