@@ -74,15 +74,26 @@ def m01_multimodal_meta(spark, sf_dir):
     return with_payload.mapInPandas(extract_metadata_batches, META_SCHEMA)
 
 
-# The fake decoder is intentionally SQL-expressible so the driver can verify
-# the whole mapInPandas pipeline against DuckDB (ascii text → bytes == chars).
+# The fake decoder is SQL-expressible BYTE-exactly: octet_length(encode())
+# counts utf-8 bytes, DuckDB md5(VARCHAR) hashes the string's utf-8 bytes
+# (same value as Python md5 over the payload), and the first BYTE (not the
+# first codepoint — 0xC3 for 'ö', not 246) decodes from the hex dump.
 M01_SQL = """
+WITH b AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS nb,
+         SUBSTR(hex(encode(text)), 1, 2) AS h1
+  FROM documents
+)
 SELECT doc_id,
-       CAST(LENGTH(text) AS INTEGER) AS n_bytes,
-       CAST(ASCII(SUBSTR(text, 1, 1)) AS INTEGER) AS first_byte,
+       CAST(nb AS INTEGER) AS n_bytes,
+       CAST(CASE WHEN nb = 0 THEN -1 ELSE
+         (strpos('0123456789ABCDEF', SUBSTR(h1, 1, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', SUBSTR(h1, 2, 1)) - 1)
+       END AS INTEGER) AS first_byte,
        SUBSTR(md5(text), 1, 8) AS head_hash,
-       CAST((LENGTH(text) * 7) % 1024 AS INTEGER) AS fake_width
-FROM documents
+       CAST((nb * 7) % 1024 AS INTEGER) AS fake_width
+FROM b
 """
 
 
@@ -121,12 +132,14 @@ def m02_frame_sample(spark, sf_dir):
 
 
 M02_SQL = """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
 SELECT doc_id, k AS frame_idx,
-       CAST(CASE WHEN k < 2 THEN GREATEST(LENGTH(text) // 4, 1)
-            ELSE LEAST(GREATEST(LENGTH(text) // 4, 1),
-                       GREATEST(LENGTH(text) - 2 * GREATEST(LENGTH(text) // 4, 1), 0))
+       CAST(CASE WHEN k < 2 THEN
+              LEAST(GREATEST(nb // 4, 1), GREATEST(nb - k * GREATEST(nb // 4, 1), 0))
+            ELSE LEAST(GREATEST(nb // 4, 1),
+                       GREATEST(nb - 2 * GREATEST(nb // 4, 1), 0))
        END AS INTEGER) AS frame_len
-FROM documents, UNNEST([0, 1, 2]) AS t(k)
+FROM b, UNNEST([0, 1, 2]) AS t(k)
 WHERE doc_id < 50
 """
 
@@ -137,9 +150,12 @@ RESIZE_SCHEMA = "doc_id long, out_bytes int, out_hash string"
 
 def m03_resize(spark, sf_dir):
     """Resize shape: payload in → transformed (smaller) payload out, 1:1.
-    The fake 'resampler' keeps the first half of the bytes; a real image
-    resize (PIL thumbnail) drops into the same mapInPandas slot with the
-    same schema contract."""
+    The fake 'resampler' decodes the payload (its 'codec' is utf-8), keeps
+    the first half of the decoded units, and re-encodes — the same
+    decode→transform→re-encode shape as a real image resize (PIL
+    thumbnail), which drops into this mapInPandas slot with the same
+    schema contract. Working on decoded units (not raw byte slices) keeps
+    the output a valid encoding for any input."""
     import pandas as pd  # noqa: F401 — executor-side import
 
     d = _t(spark, sf_dir, "documents")
@@ -153,7 +169,8 @@ def m03_resize(spark, sf_dir):
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                half = bytes(payload[: (len(payload) + 1) // 2])
+                chars = bytes(payload).decode("utf-8")
+                half = chars[: (len(chars) + 1) // 2].encode("utf-8")
                 out.append(
                     {
                         "doc_id": doc_id,
@@ -168,7 +185,8 @@ def m03_resize(spark, sf_dir):
 
 M03_SQL = """
 SELECT doc_id,
-       CAST((LENGTH(text) + 1) // 2 AS INTEGER) AS out_bytes,
+       CAST(octet_length(encode(SUBSTR(text, 1, (LENGTH(text) + 1) // 2)))
+            AS INTEGER) AS out_bytes,
        SUBSTR(md5(SUBSTR(text, 1, (LENGTH(text) + 1) // 2)), 1, 8) AS out_hash
 FROM documents
 """
@@ -202,16 +220,19 @@ def m04_features(spark, sf_dir):
     return wp.mapInPandas(extract, FEAT_SCHEMA)
 
 
+# ascii needle counts are byte==char safe even in unicode text (utf-8
+# continuation bytes are >= 0x80, so they can never equal an ascii byte);
+# only the TOTAL length must count bytes, not chars.
 M04_SQL = """
 SELECT doc_id,
        [CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INTEGER),
         CAST(LENGTH(text) - LENGTH(REPLACE(text, 'a', '')) AS INTEGER),
         CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', '')) AS INTEGER),
-        CAST(LENGTH(text) AS INTEGER)] AS feat,
+        CAST(octet_length(encode(text)) AS INTEGER)] AS feat,
        CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
           + (LENGTH(text) - LENGTH(REPLACE(text, 'a', '')))
           + (LENGTH(text) - LENGTH(REPLACE(text, 'e', '')))
-          + LENGTH(text) AS INTEGER) AS feat_l1
+          + octet_length(encode(text)) AS INTEGER) AS feat_l1
 FROM documents
 """
 

@@ -103,6 +103,10 @@ def _assert_parity(spark, sf_dir, name):
         "d34_dedup_keep_best",
         "d35_ensemble_neardup",
         "p03_corpus_report",
+        "m01_multimodal_meta",
+        "m02_frame_sample",
+        "m03_resize",
+        "m04_features",
     ],
 )
 def test_edge_docs_parity(spark, edge_sf_dir, name):
