@@ -107,6 +107,8 @@ def _assert_parity(spark, sf_dir, name):
         "m02_frame_sample",
         "m03_resize",
         "m04_features",
+        "p01_training_data_prep",
+        "p02_full_curation",
     ],
 )
 def test_edge_docs_parity(spark, edge_sf_dir, name):
