@@ -617,3 +617,78 @@ SUITE["c03b_federation_catalog"] = QueryCase(
     C03B_SQL,
     "A7 federation + A26 catalog views (merged)",
 )
+
+
+# --- C14: incremental dedup against a connector-stored signature index ----
+# The composition the table-provider layer exists for: an LLM-pipeline
+# artifact (MinHash signature table, 1 row/doc — tiny next to the corpus)
+# PERSISTED through the write path into DuckDB, scanned back executor-side
+# through the connector, and band-joined against a fresh batch. The
+# incremental-ingestion pattern at 100 TB: only the new batch is hashed
+# (the stored index is never recomputed), and each LSH band join shuffles
+# on the band key alone. Certifies write path + connector scan + LSH
+# semantics in one row.
+def c14_signature_store_dedup(spark, sf_dir):
+    utc(spark)
+    from datafusion_table_providers_spark.llm.dedup import (
+        N_BANDS,
+        _signature_df,
+    )
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+
+    sig = _signature_df(spark, sf_dir)
+    stored = sig.filter(F.col("doc_id") % 10 != 0)
+    new = sig.filter(F.col("doc_id") % 10 == 0)
+
+    path = os.path.join(tempfile.gettempdir(), f"engine_sig_{_tag(sf_dir)}.duckdb")
+    if os.path.exists(path):
+        os.remove(path)
+    backend = DuckDBBackend(path)
+    writer.insert_into(
+        backend, "sig_store", stored, mode="append", primary_keys=["doc_id"]
+    )
+    backend.close()  # release RW lock → executors open read-only
+
+    stored_r = duckdb_reader_df(spark, backend, "sig_store")
+    hits = None
+    for b in range(N_BANDS):
+        nb = new.select(
+            F.col("doc_id").alias("new_doc"), F.col(f"band{b}").alias("bk")
+        )
+        sb = stored_r.select(
+            F.col("doc_id").alias("stored_doc"), F.col(f"band{b}").alias("bk")
+        )
+        h = nb.join(sb, "bk").select("new_doc", "stored_doc")
+        hits = h if hits is None else hits.unionByName(h)
+    return hits.groupBy("new_doc", "stored_doc").agg(
+        F.count("*").alias("n_bands")
+    )
+
+
+def _c14_sql() -> str:
+    from datafusion_table_providers_spark.llm.dedup import N_BANDS, _sig_sql
+
+    joins = "\nUNION ALL\n".join(
+        f"SELECT n.doc_id AS new_doc, s.doc_id AS stored_doc "
+        f"FROM new n JOIN stored s ON n.band{b} = s.band{b}"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH sigb AS ({_sig_sql()}),
+stored AS (SELECT * FROM sigb WHERE doc_id % 10 <> 0),
+new AS (SELECT * FROM sigb WHERE doc_id % 10 = 0),
+hits AS (
+{joins}
+)
+SELECT new_doc, stored_doc, COUNT(*) AS n_bands
+FROM hits GROUP BY new_doc, stored_doc
+"""
+
+
+SUITE["c14_signature_store_dedup"] = QueryCase(
+    c14_signature_store_dedup,
+    _c14_sql(),
+    "incremental dedup vs connector-stored MinHash signature index",
+)
