@@ -100,8 +100,20 @@ _SHINGLES_SQL = f"""
 # derive h1/h2 from the same md5 hex, so signatures stay oracle-identical.
 MH_PRIME = 4294967311  # smallest prime > 2^32
 
+#: (applicationId, sf_dir) → checkpointed signature table (1 row/doc).
+#: Recomputed identically by d02, d02b (hence d12/d34/p01/p02 via pairs)
+#: and c14 — memoized like the d12 labels; the heavy shingle explode runs
+#: once per session per sf_dir.
+_SIG_CACHE: dict = {}
+
 
 def _signature_df(spark, sf_dir):
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.normpath(sf_dir))
+    cached = _SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
     # duplicate shingles cannot change a min() — skip the distinct shuffle
     sh = _shingles_df(spark, sf_dir, distinct=False)
     m = F.md5(F.col("s"))
@@ -121,7 +133,11 @@ def _signature_df(spark, sf_dir):
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    return sig.select("doc_id", *bands)
+    # materialize once: the signature table is small (1 row/doc) and every
+    # consumer would otherwise embed the full hash plan in its join fan-out
+    out = sig.select("doc_id", *bands).localCheckpoint(eager=True)
+    _SIG_CACHE[key] = out
+    return out
 
 
 def d02_minhash_signatures(spark, sf_dir):
@@ -173,11 +189,10 @@ SELECT doc_id, {bands} FROM sig
 
 # --- d02b: LSH candidate pairs + exact-Jaccard verification ---------------
 def d02b_minhash_lsh_pairs(spark, sf_dir):
-    # Materialize the (small) signature table before fanning it out into the
-    # 4-band union self-join: without the lineage cut, the full hash plan is
-    # embedded 8× in the join, and task/codegen size blows up. At scale this
-    # is exactly where you'd checkpoint the signature table anyway.
-    sig = _signature_df(spark, sf_dir).localCheckpoint(eager=True)
+    # the signature table arrives already checkpointed (and memoized) from
+    # _signature_df — the lineage cut that keeps the 4-band union self-join
+    # from embedding the full hash plan 8x
+    sig = _signature_df(spark, sf_dir)
     # bucket join per band: docs sharing any full band key are candidates
     buckets = None
     for b in range(N_BANDS):
@@ -470,7 +485,23 @@ FROM inter JOIN sizes s1 ON da = s1.doc_id JOIN sizes s2 ON db = s2.doc_id
 D12_JACCARD_TAU = 0.5
 
 
+#: (applicationId, normalized sf_dir) → checkpointed labels DF. The
+#: component labels are recomputed identically by every caller (d12 row,
+#: d34 keep-best, p01/p02 pipelines — up to four times in one driver run);
+#: the result is a localCheckpoint'd table of duplicate-cluster members
+#: (small), valid for the life of the SparkSession, and the input parquet
+#: is immutable per sf_dir — so memoizing is safe and cuts the repeated
+#: 20-round label-propagation cost.
+_D12_CACHE: dict = {}
+
+
 def d12_dedup_components(spark, sf_dir):
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.normpath(sf_dir))
+    cached = _D12_CACHE.get(key)
+    if cached is not None:
+        return cached
     pairs = (
         d02b_minhash_lsh_pairs(spark, sf_dir)
         .filter(F.col("jaccard") >= D12_JACCARD_TAU)
@@ -516,9 +547,11 @@ def d12_dedup_components(spark, sf_dir):
             "connected-components did not converge within 20 rounds "
             f"({changed} labels still changing) — raise the round cap"
         )
-    return labels.select(
+    out = labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("component_id")
     )
+    _D12_CACHE[key] = out
+    return out
 
 
 def _d12_sql() -> str:
@@ -732,7 +765,7 @@ FUZZY_EVAL_REM = 2
 
 
 def d26_fuzzy_decontaminate(spark, sf_dir):
-    sig = _signature_df(spark, sf_dir).localCheckpoint(eager=True)
+    sig = _signature_df(spark, sf_dir)  # already checkpointed + memoized
     is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == FUZZY_EVAL_REM
     buckets = None
     for b in range(N_BANDS):
