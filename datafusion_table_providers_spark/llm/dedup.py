@@ -103,17 +103,26 @@ MH_PRIME = 4294967311  # smallest prime > 2^32
 #: (applicationId, sf_dir) → checkpointed signature table (1 row/doc).
 #: Recomputed identically by d02, d02b (hence d12/d34/p01/p02 via pairs)
 #: and c14 — memoized like the d12 labels; the heavy shingle explode runs
-#: once per session per sf_dir.
-_SIG_CACHE: dict = {}
+#: once per session per sf_dir. See core/memo.py for the operational
+#: contract (non-recoverable checkpoints, clear_memo_caches()).
+from datafusion_table_providers_spark.core.memo import memo_key, register_cache
+
+_SIG_CACHE: dict = register_cache({})
 
 
 def _signature_df(spark, sf_dir):
-    import os as _os
-
-    key = (spark.sparkContext.applicationId, _os.path.normpath(sf_dir))
+    key = memo_key(spark, sf_dir)
     cached = _SIG_CACHE.get(key)
     if cached is not None:
         return cached
+    out = _signature_plan_df(spark, sf_dir).localCheckpoint(eager=True)
+    _SIG_CACHE[key] = out
+    return out
+
+
+def _signature_plan_df(spark, sf_dir):
+    """Raw signature pipeline (no memo/checkpoint) — the plan-bearing
+    object for explain/tests; _signature_df wraps it."""
     # duplicate shingles cannot change a min() — skip the distinct shuffle
     sh = _shingles_df(spark, sf_dir, distinct=False)
     m = F.md5(F.col("s"))
@@ -133,11 +142,10 @@ def _signature_df(spark, sf_dir):
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    # materialize once: the signature table is small (1 row/doc) and every
-    # consumer would otherwise embed the full hash plan in its join fan-out
-    out = sig.select("doc_id", *bands).localCheckpoint(eager=True)
-    _SIG_CACHE[key] = out
-    return out
+    # (materialization happens in _signature_df: the table is small —
+    # 1 row/doc — and every consumer would otherwise embed the full hash
+    # plan in its join fan-out)
+    return sig.select("doc_id", *bands)
 
 
 def d02_minhash_signatures(spark, sf_dir):
@@ -492,13 +500,11 @@ D12_JACCARD_TAU = 0.5
 #: (small), valid for the life of the SparkSession, and the input parquet
 #: is immutable per sf_dir — so memoizing is safe and cuts the repeated
 #: 20-round label-propagation cost.
-_D12_CACHE: dict = {}
+_D12_CACHE: dict = register_cache({})
 
 
 def d12_dedup_components(spark, sf_dir):
-    import os as _os
-
-    key = (spark.sparkContext.applicationId, _os.path.normpath(sf_dir))
+    key = memo_key(spark, sf_dir)
     cached = _D12_CACHE.get(key)
     if cached is not None:
         return cached

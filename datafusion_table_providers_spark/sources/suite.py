@@ -642,7 +642,13 @@ def c14_signature_store_dedup(spark, sf_dir):
     stored = sig.filter(F.col("doc_id") % 10 != 0)
     new = sig.filter(F.col("doc_id") % 10 == 0)
 
-    path = os.path.join(tempfile.gettempdir(), f"engine_sig_{_tag(sf_dir)}.duckdb")
+    # per-application filename: two concurrent drivers (or xdist workers)
+    # must not race on one store file — one would remove/rewrite it while
+    # the other's executors are lazily scanning it
+    app = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), f"engine_sig_{_tag(sf_dir)}_{app}.duckdb"
+    )
     if os.path.exists(path):
         os.remove(path)
     backend = DuckDBBackend(path)

@@ -59,11 +59,15 @@ def test_pq_encode_map_only_and_codes_valid(spark):
     from datafusion_table_providers_spark.llm.similarity import (
         PQ_K,
         PQ_M,
+        _pq_codebook,
+        _pq_encode_plan_df,
         d18_pq_encode,
     )
 
     df = d18_pq_encode(spark, SF)
-    plan = _plan(df)
+    # the memoized result is checkpointed (plan = bare ExistingRDD scan);
+    # the map-only contract must be asserted on the RAW builder's plan
+    plan = _plan(_pq_encode_plan_df(spark, SF, _pq_codebook(spark, SF)))
     assert "Exchange" not in plan, (
         "PQ encode is one narrow pass over the corpus (codebook is a "
         "broadcast literal); a shuffle means the plan broke"
