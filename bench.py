@@ -93,10 +93,17 @@ def main():
     # re-executes the full plan from the parquet scans; nothing is cached.
     timings = {}
     cold = {}
+    from datafusion_table_providers_spark.core.memo import clear_memo_caches
+
     for name in BENCH_QUERIES:
         case = FULL_SUITE[name]
         per_run = []
         for _ in range(3):
+            # session memoization (signatures/labels/PQ artifacts) is a real
+            # feature of a driver run, but the bench's contract is the cost
+            # of the OPERATOR — clear the memo so every timed run recomputes
+            # and the number stays comparable with pre-memo rounds
+            clear_memo_caches()
             t0 = time.time()
             df = case.fn(spark, sf_dir)
             n = df.count()
