@@ -72,12 +72,21 @@ for _mod, _attr in [
 #: sessionization vs batch oracle) replaces r2+r3-green b07c, and e11
 #: (Misra-Gries heavy hitters) rides the e08 sketch slot (e08b) — leaving
 #: no registry capability without a driver certification across r1-r4.
+#:
+#: Round-4 session-4 rotation: the last three never-certified rows swap in
+#: for twice-certified (r2+r3) entries whose capabilities stay in-window —
+#: c14_signature_store_dedup for c04 (c14 itself writes through
+#: writer.insert_into into DuckDB and scans back through the connector;
+#: c05b/c07/c08/c13 keep the rest of the write path certified),
+#: d35_ensemble_neardup for d03b (d35 executes the d02b/d03b/d04 builders
+#: verbatim and unions them), and p03_corpus_report for p01b (p02 keeps the
+#: pipeline capstone slot).
 PRIORITY_WINDOW = [
     # connector family (§2.A scan/pushdown/federation/write) — 9
     "c01_duckdb_scan_pushdown",
     "c02b_partitioned_scans",
     "c03b_federation_catalog",
-    "c04_duckdb_write_roundtrip",
+    "c14_signature_store_dedup",
     "c05b_upsert_dml",
     "c07_sqlite_roundtrip",
     "c08_duckdb_overwrite",
@@ -85,7 +94,7 @@ PRIORITY_WINDOW = [
     "c13_sqlite_dml",
     # dedup — one per method + components + fuzzy decontamination — 6
     "d02b_minhash_lsh_pairs",
-    "d03b_simhash_pairs",
+    "d35_ensemble_neardup",
     "d04b_ngram_editdist",
     "d11b_neardup_multiprobe",
     "d12b_components_keepbest",
@@ -110,7 +119,7 @@ PRIORITY_WINDOW = [
     # pipelines (incl. the p02 capstone solo row) — 4
     "m01b_meta_frames",
     "m03b_resize_features",
-    "p01b_pipelines",
+    "p03_corpus_report",
     "p02_full_curation",
     # extension operators — 4 entries / 10 ops (e01+e02, e03+e06+e09,
     # e04+e07+e10, e08+e11 merged)
