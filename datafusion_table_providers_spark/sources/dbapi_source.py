@@ -105,6 +105,8 @@ class DBAPIReader(DataSourceReader):
         self.relation = options["relation"]
         self.dialect = DIALECTS[options.get("dialect", "odbc")]
         self.where: List[str] = []
+        # runtime semi-join reduction fragments (sources/dynamic_filter.py)
+        self.where.extend(json.loads(options.get("extra_where", "[]")))
         self.columns = json.loads(options.get("columns", "null"))
         self.batch_size = int(options.get("batch_size", "16384"))
         self._partition_clauses = json.loads(
@@ -308,6 +310,7 @@ def dbapi_reader_df(
     partition_column: Optional[str] = None,
     num_partitions: int = 1,
     auto_broadcast: bool = False,
+    extra_where: Optional[List[str]] = None,
 ) -> DataFrame:
     """When ``partition_column`` (numeric) is set with ``num_partitions>1``,
     MIN/MAX bounds are introspected once driver-side over the same DB-API
@@ -330,6 +333,8 @@ def dbapi_reader_df(
     )
     if columns:
         r = r.option("columns", json.dumps(list(columns)))
+    if extra_where:
+        r = r.option("extra_where", json.dumps(list(extra_where)))
     if schema_ddl:
         struct = T._parse_datatype_string(schema_ddl)  # driver-side: session up
         r = r.option("schema_json", json.dumps(struct.jsonValue()))

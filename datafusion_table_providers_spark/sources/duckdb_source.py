@@ -108,6 +108,10 @@ class DuckDBReader(DataSourceReader):
         self.relation = options.get("relation")
         self.dialect = DIALECTS["duckdb"]
         self.where: List[str] = []
+        # caller-supplied SQL fragments ANDed into every partition's WHERE —
+        # the runtime semi-join reduction path (sources/dynamic_filter.py)
+        # injects its IN-list / range clause here
+        self.where.extend(json.loads(options.get("extra_where", "[]")))
         json.loads(options.get("parquet_tables", "{}"))  # validate early
         self._partition_clauses = json.loads(options.get("partition_clauses", "[]"))
         # Projection pushdown (reference mod.rs:258-276): the Python DS API
@@ -272,6 +276,7 @@ def duckdb_reader_df(
     order_by: Optional[List[str]] = None,
     limit: Optional[int] = None,
     auto_broadcast: bool = False,
+    extra_where: Optional[List[str]] = None,
 ) -> DataFrame:
     """Build a connector DataFrame for a backend-managed relation.
 
@@ -312,6 +317,8 @@ def duckdb_reader_df(
         opts["order_by"] = json.dumps(list(order_by))
     if limit is not None:
         opts["limit"] = str(int(limit))
+    if extra_where:
+        opts["extra_where"] = json.dumps(list(extra_where))
     if partition_column and num_partitions is None:
         rows = table_row_count(backend, relation)
         num_partitions = max(1, min(64, rows // AUTO_PARTITION_ROWS + 1))

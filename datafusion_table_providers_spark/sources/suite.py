@@ -698,3 +698,59 @@ SUITE["c14_signature_store_dedup"] = QueryCase(
     _c14_sql(),
     "incremental dedup vs connector-stored MinHash signature index",
 )
+
+
+# --- C15: runtime semi-join reduction (dynamic filter pushdown) ----------
+# The fact scan's WHERE is computed at RUNTIME from the filtered dim's join
+# keys (sources/dynamic_filter.py): the connector fetches only orders whose
+# o_custkey survives the customer filter, instead of shipping every order
+# to Spark for the join to discard. DataFusion's dynamic-filter-pushdown
+# analog for the Python-DataSource boundary, which Spark's own runtime
+# filters (DPP / bloom) cannot cross. The Spark-side broadcast join above
+# the scan remains the truth — the clause is a superset filter (Inexact).
+def c15_runtime_filter_scan(spark, sf_dir):
+    utc(spark)
+    from datafusion_table_providers_spark.sources.dynamic_filter import (
+        duckdb_semijoin_scan,
+    )
+
+    dim = (
+        spark.read.parquet(_pq(sf_dir, "customer"))
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") == 5)
+        )
+        .select("c_custkey")
+    )
+    backend = _duckdb_parquet_backend(sf_dir)
+    scan, strategy = duckdb_semijoin_scan(
+        spark,
+        backend,
+        "orders",
+        "o_custkey",
+        dim,
+        dim_key="c_custkey",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    assert strategy == "in_list", strategy  # dim is a few hundred keys
+    joined = scan.join(F.broadcast(dim), scan.o_custkey == dim.c_custkey)
+    return joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.count("*").alias("n_orders"),
+        _r(F.sum("o_totalprice")).alias("total_price"),
+    )
+
+
+C15_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       COUNT(*) AS n_orders,
+       {_rsql("SUM(o_totalprice)")} AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 5
+GROUP BY order_year
+"""
+
+
+SUITE["c15_runtime_filter_scan"] = QueryCase(
+    c15_runtime_filter_scan,
+    C15_SQL,
+    "runtime semi-join reduction pushed into the connector scan SQL",
+)

@@ -83,7 +83,10 @@ for _mod, _attr in [
 #: pipeline capstone slot).
 PRIORITY_WINDOW = [
     # connector family (§2.A scan/pushdown/federation/write) — 9
-    "c01_duckdb_scan_pushdown",
+    # c15 (runtime semi-join reduction) replaces r2+r3-certified c01: the
+    # row exercises the same reader + static pushdown surface PLUS the
+    # dynamic-filter clause and the connector-fact/parquet-dim join
+    "c15_runtime_filter_scan",
     "c02b_partitioned_scans",
     "c03b_federation_catalog",
     "c14_signature_store_dedup",

@@ -1,0 +1,166 @@
+"""Runtime semi-join reduction (sources/dynamic_filter.py).
+
+Covers the strategy ladder (IN-list / range / empty), literal rendering
+through the dialect layer, the extra_where plumbing in both connector
+readers' generated SQL, and the end-to-end contract: the reduced scan
+fetches strictly fewer rows while the join result is unchanged.
+"""
+
+import json
+
+from pyspark.sql import functions as F
+
+from datafusion_table_providers_spark.core.expr import DIALECTS
+from datafusion_table_providers_spark.sources.dynamic_filter import (
+    duckdb_semijoin_scan,
+    runtime_filter_clause,
+)
+
+from tests.conftest import SF_DIR
+
+
+def _dim(spark, vals, name="k"):
+    return spark.createDataFrame([(v,) for v in vals], f"{name} int")
+
+
+def test_in_list_strategy(spark):
+    clause, strategy = runtime_filter_clause(
+        _dim(spark, [3, 1, 2, None]), "k", DIALECTS["duckdb"]
+    )
+    assert strategy == "in_list"
+    # NULL excluded, values sorted for deterministic SQL
+    assert clause == '"k" IN (1, 2, 3)'
+
+
+def test_in_list_renames_fact_column(spark):
+    clause, _ = runtime_filter_clause(
+        _dim(spark, [7]), "k", DIALECTS["duckdb"], fact_column="o_custkey"
+    )
+    assert clause == '"o_custkey" IN (7)'
+
+
+def test_string_keys_render_as_quoted_literals(spark):
+    dim = spark.createDataFrame([("a'b",), ("c",)], "k string")
+    clause, strategy = runtime_filter_clause(dim, "k", DIALECTS["duckdb"])
+    assert strategy == "in_list"
+    assert clause == "\"k\" IN ('a''b', 'c')"
+
+
+def test_range_fallback_over_cap(spark):
+    clause, strategy = runtime_filter_clause(
+        _dim(spark, list(range(100))), "k", DIALECTS["duckdb"], in_list_max=10
+    )
+    assert strategy == "range"
+    assert clause == '"k" >= 0 AND "k" <= 99'
+
+
+def test_empty_dim_short_circuits(spark):
+    clause, strategy = runtime_filter_clause(
+        _dim(spark, []), "k", DIALECTS["duckdb"]
+    )
+    assert (clause, strategy) == ("FALSE", "empty")
+
+
+def test_all_null_keys_is_empty_not_none(spark):
+    # NULL keys never join; after the isNotNull prefilter the dim is empty
+    clause, strategy = runtime_filter_clause(
+        _dim(spark, [None, None]), "k", DIALECTS["duckdb"]
+    )
+    assert (clause, strategy) == ("FALSE", "empty")
+
+
+def test_extra_where_lands_in_duckdb_scan_sql():
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        DuckDBReader,
+    )
+
+    r = DuckDBReader(
+        None,
+        {
+            "relation": "orders",
+            "extra_where": json.dumps(['"o_custkey" IN (1, 2)']),
+            "columns": json.dumps(["o_custkey"]),
+        },
+    )
+    sql = r.scan_sql()
+    assert '"o_custkey" IN (1, 2)' in sql
+    assert "WHERE" in sql
+
+
+def test_extra_where_lands_in_dbapi_scan_sql():
+    from datafusion_table_providers_spark.sources.dbapi_source import (
+        DBAPIReader,
+    )
+
+    r = DBAPIReader(
+        None,
+        {
+            "relation": "orders",
+            "dialect": "sqlite",
+            "extra_where": json.dumps(['"o_custkey" >= 5 AND "o_custkey" <= 9']),
+        },
+    )
+    assert '"o_custkey" >= 5 AND "o_custkey" <= 9' in r.scan_sql()
+
+
+def test_semijoin_scan_reduces_fetch_and_preserves_join(spark):
+    from datafusion_table_providers_spark.sources.suite import (
+        _duckdb_parquet_backend,
+        _pq,
+    )
+
+    dim = (
+        spark.read.parquet(_pq(SF_DIR, "customer"))
+        .filter(F.col("c_nationkey") == 3)
+        .select("c_custkey")
+    )
+    backend = _duckdb_parquet_backend(SF_DIR)
+    scan, strategy = duckdb_semijoin_scan(
+        spark,
+        backend,
+        "orders",
+        "o_custkey",
+        dim,
+        dim_key="c_custkey",
+        columns=["o_orderkey", "o_custkey"],
+    )
+    assert strategy == "in_list"
+    full = spark.read.parquet(_pq(SF_DIR, "orders"))
+    # the remote engine dropped non-matching customers before the wire
+    assert scan.count() < full.count()
+    reduced = scan.join(dim, scan.o_custkey == dim.c_custkey).count()
+    plain = (
+        full.join(dim, full.o_custkey == dim.c_custkey).count()
+    )
+    assert reduced == plain > 0
+
+
+def test_range_strategy_end_to_end(spark):
+    from datafusion_table_providers_spark.sources.suite import (
+        _duckdb_parquet_backend,
+        _pq,
+    )
+
+    dim = (
+        spark.read.parquet(_pq(SF_DIR, "customer"))
+        .filter(F.col("c_nationkey") == 3)
+        .select("c_custkey")
+    )
+    backend = _duckdb_parquet_backend(SF_DIR)
+    scan, strategy = duckdb_semijoin_scan(
+        spark,
+        backend,
+        "orders",
+        "o_custkey",
+        dim,
+        dim_key="c_custkey",
+        in_list_max=2,  # force the min/max fallback
+        columns=["o_orderkey", "o_custkey"],
+    )
+    assert strategy == "range"
+    plain = (
+        spark.read.parquet(_pq(SF_DIR, "orders"))
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .count()
+    )
+    assert scan.join(dim, scan.o_custkey == dim.c_custkey).count() == plain > 0
