@@ -510,3 +510,68 @@ SUITE["d13b_curation_scrub"] = QueryCase(
     D13B_SQL,
     "decontamination + PII scrub + paragraph dedup + intra-doc dedup (merged)",
 )
+
+
+# --- d36: epoch-repeat materialization of the training mixture ------------
+# d32 decides HOW MUCH of each source the mix wants (quota_docs); this op
+# decides, per document, HOW MANY epochs of it the training run reads —
+# the step that turns mixture weights into an actual sampled corpus
+# (repeat factor > 1 upsamples small sources, < 1 subsamples large ones).
+# All integer math: full copies = quota div n_docs; the fractional
+# remainder becomes one extra copy for documents whose md5 bucket clears a
+# threshold compared EXACTLY in 64-bit integers (bucket/2^32 < rem/n ⟺
+# bucket*n < rem*2^32 — no float, no engine rounding drift). Expected
+# extra-copy count = rem, so expected total = quota per source.
+# Scale shape: one tiny d32 aggregate broadcast onto a single
+# full-corpus scan — no window, no shuffle keyed on anything skewed, and
+# the per-doc hash makes the sample reproducible run-to-run (the property
+# a 100 TB pipeline actually needs: re-running a failed stage must yield
+# the same corpus).
+def d36_budget_repeat(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    mix = d32_mixture_weights(spark, sf_dir).select(
+        "source", "n_docs", "quota_docs"
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    j = d.select("doc_id", "source").join(F.broadcast(mix), "source")
+    return j.select(
+        "doc_id",
+        "source",
+        (
+            F.expr("quota_docs div n_docs")
+            + F.when(
+                bucket * F.col("n_docs")
+                < (F.col("quota_docs") % F.col("n_docs")) * F.lit(4294967296),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_copies"),
+    )
+
+
+def _d36_sql() -> str:
+    from datafusion_table_providers_spark.llm.dedup import _hex8_sql
+
+    bucket = _hex8_sql("m", 1)
+    return f"""
+WITH mix AS ({_D32_SQL}),
+docs AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents
+)
+SELECT d.doc_id, d.source,
+       CAST(mix.quota_docs // mix.n_docs
+            + CASE WHEN {bucket} * mix.n_docs
+                        < (mix.quota_docs % mix.n_docs) * 4294967296
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+FROM docs d JOIN mix ON d.source = mix.source
+"""
+
+
+SUITE["d36_budget_repeat"] = QueryCase(
+    d36_budget_repeat,
+    _d36_sql(),
+    "per-document epoch repeat factors materializing the d32 mixture",
+)

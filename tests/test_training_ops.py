@@ -281,3 +281,41 @@ def test_zorder_key_refuses_overflow(spark):
 
     with pytest.raises(ValueError, match="63"):
         zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits > 63
+
+
+def test_budget_repeat_materializes_quota(spark):
+    from datafusion_table_providers_spark.llm.curation import (
+        d32_mixture_weights,
+        d36_budget_repeat,
+    )
+
+    rep = d36_budget_repeat(spark, SF)
+    mix = {
+        r["source"]: (r["n_docs"], r["quota_docs"])
+        for r in d32_mixture_weights(spark, SF).collect()
+    }
+    per_src = {
+        r["source"]: (r["n"], r["total"])
+        for r in rep.groupBy("source")
+        .agg(
+            F.count("*").alias("n"), F.sum("n_copies").alias("total")
+        )
+        .collect()
+    }
+    assert set(per_src) == set(mix)
+    for src, (n, total) in per_src.items():
+        n_docs, quota = mix[src]
+        assert n == n_docs  # one row per document, zero-copy docs included
+        full, rem = divmod(quota, n_docs)
+        # every doc carries the full-copy floor; extra copies are a
+        # deterministic hash draw with expectation rem — bound loosely
+        assert total >= full * n_docs
+        assert abs(total - quota) <= max(8, rem)  # binomial tail, tiny n
+
+
+def test_budget_repeat_is_deterministic(spark):
+    from datafusion_table_providers_spark.llm.curation import d36_budget_repeat
+
+    a = sorted(map(tuple, d36_budget_repeat(spark, SF).collect()))
+    b = sorted(map(tuple, d36_budget_repeat(spark, SF).collect()))
+    assert a == b
