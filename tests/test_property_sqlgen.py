@@ -132,3 +132,41 @@ def test_sqlite_arrow_batches_property(rows, batch_size):
     )
     assert sum(bt.num_rows for bt in batches) == len(rows)
     assert len({str(bt.schema) for bt in batches}) <= 1
+
+
+# --- runtime semi-join reduction clause (sources/dynamic_filter.py) -------
+# The IN-list renders DATA values (dim join keys) into connector SQL — a
+# key containing quote/backslash characters must select exactly itself,
+# never escape the literal. Executed against real DuckDB: build a table of
+# adversarial keys, render the clause via the dialect layer (same code
+# path runtime_filter_clause uses), and assert the selected set is the
+# requested subset, bit-exact.
+@settings(max_examples=100, deadline=None)
+@given(st.lists(text_values, min_size=1, max_size=8, unique=True))
+def test_in_list_clause_selects_exactly_the_keys(keys):
+    keep = keys[: max(1, len(keys) // 2)]
+    lits = ", ".join(D.literal(v) for v in sorted(keep))
+    clause = f'"k" IN ({lits})'
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (k VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in keys])
+        got = {r[0] for r in con.execute(f"SELECT k FROM t WHERE {clause}").fetchall()}
+    finally:
+        con.close()
+    assert got == set(keep)
+
+
+def test_in_list_clause_lints_clean_for_remote_dialects(spark):
+    from datafusion_table_providers_spark.core.dialect_lint import lint_sql
+    from datafusion_table_providers_spark.sources.dynamic_filter import (
+        runtime_filter_clause,
+    )
+
+    dim = spark.createDataFrame(
+        [("a'b; DROP TABLE t--",), ("\\",), ("plain",)], "k string"
+    )
+    for name in ("postgres", "mysql", "clickhouse"):
+        clause, strategy = runtime_filter_clause(dim, "k", DIALECTS[name])
+        assert strategy == "in_list"
+        lint_sql(f"SELECT x FROM t WHERE {clause}", name)  # raises on a leak
