@@ -191,3 +191,54 @@ def test_new_training_op_plan_properties(spark):
     assert "CartesianProduct" not in p10
     assert "Generate" in p10, p10
     assert "BroadcastHashJoin" in p10 or "SortMergeJoin" in p10, p10
+
+
+def test_runtime_filter_row_plan_properties(spark):
+    # c15: the fact/dim join must broadcast the dim (a few hundred keys),
+    # and the connector scan's generated SQL must carry the runtime IN-list
+    plan = _plan(spark, "c15_runtime_filter_scan")
+    assert "BroadcastHashJoin" in plan, "c15 lost the broadcast dim join"
+    assert "CartesianProduct" not in plan
+
+    import json
+
+    from pyspark.sql import functions as F
+
+    from datafusion_table_providers_spark.core.expr import DIALECTS
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        DuckDBReader,
+    )
+    from datafusion_table_providers_spark.sources.dynamic_filter import (
+        runtime_filter_clause,
+    )
+
+    dim = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .filter(F.col("c_nationkey") == 5)
+        .select("c_custkey")
+    )
+    clause, strategy = runtime_filter_clause(
+        dim, "c_custkey", DIALECTS["duckdb"], fact_column="o_custkey"
+    )
+    assert strategy == "in_list"
+    r = DuckDBReader(
+        None,
+        {
+            "relation": "orders",
+            "extra_where": json.dumps([clause]),
+            "columns": json.dumps(["o_custkey", "o_totalprice"]),
+        },
+    )
+    sql = r.scan_sql()
+    assert '"o_custkey" IN (' in sql
+    assert "SELECT *" not in sql  # projection stays pruned alongside
+
+
+def test_budget_repeat_plan_properties(spark):
+    # d36: one broadcast of the tiny mixture aggregate onto the corpus
+    # scan — no sort-merge join, no window, no extra shuffle beyond d32's
+    # own source aggregation
+    plan = _plan(spark, "d36_budget_repeat")
+    assert "BroadcastHashJoin" in plan, "d36 must broadcast the mixture"
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
