@@ -158,6 +158,68 @@ class Engine:
         self._tables[name] = TableHandle(name, backend, relation)
         return df
 
+    def reduced_view(
+        self,
+        name: str,
+        fact_key: str,
+        dim_df: DataFrame,
+        dim_key: Optional[str] = None,
+        view_name: Optional[str] = None,
+        in_list_max: Optional[int] = None,
+        columns: Optional[list] = None,
+    ) -> DataFrame:
+        """Re-register a connector table as a runtime-reduced view.
+
+        Computes the semi-join reduction clause (sources/dynamic_filter.py)
+        from ``dim_df``'s ``dim_key`` values and registers
+        ``view_name`` (default ``{name}_reduced``) as the same connector
+        scan with that clause ANDed into its remote WHERE. Joins against
+        the reduced view fetch only potentially-matching fact rows from
+        the remote engine — the dynamic-filter pushdown Spark's own
+        runtime filters cannot deliver across the Python DataSource
+        boundary. The clause is a superset filter: the Spark-side join
+        remains the truth, so substituting the reduced view for the
+        original in a join is always safe.
+        """
+        from datafusion_table_providers_spark.sources.dynamic_filter import (
+            IN_LIST_MAX,
+            runtime_filter_clause,
+        )
+        from datafusion_table_providers_spark.sources.duckdb_source import (
+            duckdb_reader_df,
+        )
+        from datafusion_table_providers_spark.sources.sqlite_source import (
+            sqlite_reader_df,
+        )
+
+        handle = self._tables[name]
+        backend = handle.backend
+        if backend is None:
+            raise ValueError(f"{name} is not a connector-backed table")
+        clause, strategy = runtime_filter_clause(
+            dim_df,
+            dim_key or fact_key,
+            backend.dialect,
+            fact_column=fact_key,
+            in_list_max=IN_LIST_MAX if in_list_max is None else in_list_max,
+        )
+        extra = [clause] if clause is not None else []
+        ctx = backend.compute_context()
+        if ctx.startswith("duckdb:"):
+            df = duckdb_reader_df(
+                self.spark, backend, handle.remote_relation,
+                columns=columns, extra_where=extra,
+            )
+        elif ctx.startswith("sqlite:"):
+            df = sqlite_reader_df(
+                self.spark, backend, handle.remote_relation,
+                columns=columns, extra_where=extra,
+            )
+        else:
+            raise ValueError(f"no connector for backend context {ctx}")
+        df.createOrReplaceTempView(view_name or f"{name}_reduced")
+        return df
+
     def _connector_df(
         self,
         backend: Backend,

@@ -70,6 +70,8 @@ class SQLiteReader(DataSourceReader):
         self.where: List[str] = []
         import json as _json
 
+        # runtime semi-join reduction fragments (sources/dynamic_filter.py)
+        self.where.extend(_json.loads(options.get("extra_where", "[]")))
         # projection pushdown via explicit option (same contract as the
         # DuckDB reader — the Python DS API has no pruning hook)
         self.columns = _json.loads(options.get("columns", "null"))
@@ -158,6 +160,7 @@ def register(spark: SparkSession) -> None:
 def sqlite_reader_df(
     spark: SparkSession, backend, relation: str, columns=None,
     auto_broadcast: bool = False,
+    extra_where=None,
 ) -> DataFrame:
     """``auto_broadcast=True``: consult the row-count statistic and attach
     a broadcast join hint when small (A15 — Python-DS scans report no
@@ -178,6 +181,8 @@ def sqlite_reader_df(
     )
     if columns:
         reader = reader.option("columns", _json.dumps(list(columns)))
+    if extra_where:
+        reader = reader.option("extra_where", _json.dumps(list(extra_where)))
     hint_broadcast = False
     if auto_broadcast:
         from datafusion_table_providers_spark.sources.duckdb_source import (

@@ -164,3 +164,64 @@ def test_range_strategy_end_to_end(spark):
         .count()
     )
     assert scan.join(dim, scan.o_custkey == dim.c_custkey).count() == plain > 0
+
+
+def test_engine_reduced_view_duckdb(spark, tmp_path):
+    import duckdb as _duckdb
+
+    from datafusion_table_providers_spark.engine import Engine
+    from datafusion_table_providers_spark.sources.backends import DuckDBBackend
+
+    path = str(tmp_path / "facts.duckdb")
+    con = _duckdb.connect(path)
+    con.execute(
+        "CREATE TABLE fact AS SELECT i AS k, i * 10 AS v FROM range(1000) t(i)"
+    )
+    con.close()
+    eng = Engine(spark)
+    eng.register_backend_table("fact", DuckDBBackend(path))
+    dim = spark.createDataFrame([(5,), (7,), (900,)], "k int")
+    reduced = eng.reduced_view("fact", "k", dim)
+    assert reduced.count() == 3  # remote engine dropped the other 997 rows
+    out = spark.sql(
+        "SELECT f.k, f.v FROM fact_reduced f ORDER BY f.k"
+    ).collect()
+    assert [(r["k"], r["v"]) for r in out] == [(5, 50), (7, 70), (900, 9000)]
+
+
+def test_engine_reduced_view_sqlite(spark, tmp_path):
+    import sqlite3
+
+    from datafusion_table_providers_spark.engine import Engine
+    from datafusion_table_providers_spark.sources.backends import SQLiteBackend
+
+    path = str(tmp_path / "facts.db")
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE fact (k INTEGER, v INTEGER)")
+    con.executemany(
+        "INSERT INTO fact VALUES (?, ?)", [(i, i * 10) for i in range(100)]
+    )
+    con.commit()
+    con.close()
+    eng = Engine(spark)
+    eng.register_backend_table("fact", SQLiteBackend(path))
+    dim = spark.createDataFrame([(3,), (4,)], "k int")
+    reduced = eng.reduced_view("fact", "k", dim, view_name="fr")
+    assert sorted(r["v"] for r in reduced.collect()) == [30, 40]
+    assert spark.sql("SELECT COUNT(*) AS n FROM fr").collect()[0]["n"] == 2
+
+
+def test_engine_reduced_view_empty_dim_scans_nothing(spark, tmp_path):
+    import duckdb as _duckdb
+
+    from datafusion_table_providers_spark.engine import Engine
+    from datafusion_table_providers_spark.sources.backends import DuckDBBackend
+
+    path = str(tmp_path / "f2.duckdb")
+    con = _duckdb.connect(path)
+    con.execute("CREATE TABLE fact AS SELECT i AS k FROM range(50) t(i)")
+    con.close()
+    eng = Engine(spark)
+    eng.register_backend_table("fact", DuckDBBackend(path))
+    dim = spark.createDataFrame([], "k int")
+    assert eng.reduced_view("fact", "k", dim).count() == 0
