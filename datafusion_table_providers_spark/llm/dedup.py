@@ -994,3 +994,62 @@ SUITE["d35_ensemble_neardup"] = QueryCase(
     _d35_sql(),
     "ensemble near-dup verdict (pair flagged by >=2 of 3 methods)",
 )
+
+
+# --- d37: near-duplicate contamination matrix by source pair --------------
+# The dataset-card question behind dedup: WHERE do the duplicates come
+# from? Cross-source pair mass (e.g. web_crawl x curated) signals one
+# source re-hosting another — a licensing/contamination review trigger —
+# while intra-source mass is ordinary crawl redundancy. Pure composition:
+# the certified d02b pair table joined twice against the slim
+# (doc_id, source) projection (broadcast both ways at any corpus size —
+# the pair table is output-bounded, the label table is 2 columns), then
+# one tiny groupBy on the unordered source pair. Label the pair
+# (least, greatest) so (A,B) and (B,A) accumulate together.
+def d37_dup_source_matrix(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = d02b_minhash_lsh_pairs(spark, sf_dir).select("da", "db")
+    labeled = (
+        pairs.join(
+            d.select(
+                F.col("doc_id").alias("da"), F.col("source").alias("src_a")
+            ),
+            "da",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("db"), F.col("source").alias("src_b")
+            ),
+            "db",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def _d37_sql() -> str:
+    return f"""
+WITH pairs AS (SELECT da, db FROM ({_d02b_sql()})),
+labeled AS (
+  SELECT LEAST(x.source, y.source) AS source_lo,
+         GREATEST(x.source, y.source) AS source_hi
+  FROM pairs p
+  JOIN documents x ON p.da = x.doc_id
+  JOIN documents y ON p.db = y.doc_id
+)
+SELECT source_lo, source_hi, COUNT(*) AS n_pairs
+FROM labeled GROUP BY source_lo, source_hi
+"""
+
+
+SUITE["d37_dup_source_matrix"] = QueryCase(
+    d37_dup_source_matrix,
+    _d37_sql(),
+    "near-dup pair mass by unordered source pair (contamination matrix)",
+)

@@ -100,8 +100,10 @@ def _assert_parity(spark, sf_dir, name):
         "d30_unigram_logprob",
         "d31_intradoc_dedup",
         "d32_mixture_weights",
+        "d36_budget_repeat",
         "d34_dedup_keep_best",
         "d35_ensemble_neardup",
+        "d37_dup_source_matrix",
         "p03_corpus_report",
         "m01_multimodal_meta",
         "m02_frame_sample",
