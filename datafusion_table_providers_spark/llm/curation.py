@@ -575,3 +575,61 @@ SUITE["d36_budget_repeat"] = QueryCase(
     _d36_sql(),
     "per-document epoch repeat factors materializing the d32 mixture",
 )
+
+
+# --- d38: adaptive per-language length filter -----------------------------
+# Fixed length cutoffs are wrong across languages (Chinese packs ~2-3x the
+# information per char of English); quality pipelines instead trim each
+# language's own length distribution tails. Certified path: exact
+# percentile cutoffs (Spark F.percentile == DuckDB percentile_cont, both
+# linear-interpolation on the sorted values) with a 1e-6 epsilon on the
+# integer-vs-double comparison so a ULP of interpolation drift can never
+# flip a boundary document on one engine only. Tiny language groups
+# (< MIN_LANG_DOCS) pass through — a tail trim of 10 documents is noise.
+# Scale note: EXACT percentile buffers each language's values on one
+# executor; at 100 TB call with approx=True — approx_percentile is a
+# mergeable sketch (partial-aggregatable, bounded memory), same plan
+# shape, cutoffs within sketch tolerance.
+MIN_LANG_DOCS = 20
+
+
+def d38_adaptive_length_filter(spark, sf_dir, approx: bool = False):
+    d = _t(spark, sf_dir, "documents")
+    pct = (
+        (lambda c, p: F.expr(f"approx_percentile({c}, {p})"))
+        if approx
+        else (lambda c, p: F.percentile(c, p))
+    )
+    thr = d.groupBy("lang").agg(
+        pct("n_chars", 0.05).alias("lo"),
+        pct("n_chars", 0.95).alias("hi"),
+        F.count("*").alias("n_lang"),
+    )
+    j = d.select("doc_id", "lang", "n_chars").join(F.broadcast(thr), "lang")
+    keep = (F.col("n_lang") < MIN_LANG_DOCS) | (
+        (F.col("n_chars") >= F.col("lo") - 1e-6)
+        & (F.col("n_chars") <= F.col("hi") + 1e-6)
+    )
+    return j.where(keep).select("doc_id", "lang", "n_chars")
+
+
+_D38_SQL = f"""
+WITH thr AS (
+  SELECT lang,
+         percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+         percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi,
+         COUNT(*) AS n_lang
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, n_chars
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE n_lang < {MIN_LANG_DOCS}
+   OR (n_chars >= lo - 1e-6 AND n_chars <= hi + 1e-6)
+"""
+
+
+SUITE["d38_adaptive_length_filter"] = QueryCase(
+    d38_adaptive_length_filter,
+    _D38_SQL,
+    "per-language percentile length cutoffs (exact; approx twin for scale)",
+)

@@ -319,3 +319,47 @@ def test_budget_repeat_is_deterministic(spark):
     a = sorted(map(tuple, d36_budget_repeat(spark, SF).collect()))
     b = sorted(map(tuple, d36_budget_repeat(spark, SF).collect()))
     assert a == b
+
+
+def test_adaptive_length_filter_trims_tails(spark):
+    from datafusion_table_providers_spark.llm.curation import (
+        MIN_LANG_DOCS,
+        d38_adaptive_length_filter,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = d38_adaptive_length_filter(spark, SF)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept_by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in by_lang.items():
+        if lang is None:
+            continue
+        k = kept_by_lang.get(lang, 0)
+        if n < MIN_LANG_DOCS:
+            assert k == n  # tiny groups pass through untrimmed
+        else:
+            # ~90% central band kept, never everything unless lengths tie
+            assert 0 < k <= n
+            assert k >= int(n * 0.85)
+
+
+def test_adaptive_length_filter_approx_twin_close_to_exact(spark):
+    from datafusion_table_providers_spark.llm.curation import (
+        d38_adaptive_length_filter,
+    )
+
+    exact = {
+        r["doc_id"] for r in d38_adaptive_length_filter(spark, SF).collect()
+    }
+    approx = {
+        r["doc_id"]
+        for r in d38_adaptive_length_filter(spark, SF, approx=True).collect()
+    }
+    # sketch cutoffs may move a few boundary docs, never the central mass
+    assert len(exact & approx) >= int(0.95 * len(exact))
