@@ -125,3 +125,60 @@ def write_zordered(
         .parquet(path)
     )
 
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_by: Sequence[str] = (),
+) -> tuple:
+    """Rewrite a parquet dataset into size-targeted files (small-file
+    compaction — the Delta/Iceberg OPTIMIZE analog in plain Spark).
+
+    Streaming sinks and fine-grained incremental appends accumulate
+    thousands of KB-sized files; at 100 TB the resulting footer/open
+    overhead dominates scan time long before the data does. This rewrites
+    the dataset into ``ceil(total_bytes / target_file_bytes)`` files —
+    via a shuffle-free ``coalesce`` when only merging, or a
+    range-repartition + sort when ``cluster_by`` is given (compaction and
+    clustering in one pass, so the rewrite also buys footer pruning).
+
+    The swap is staged: new files land in a sibling directory while the
+    dataset stays readable, then two directory renames publish them.
+    Local-FS renames are atomic; on an object store, point readers at a
+    catalog/manifest instead of relying on directory rename.
+
+    Returns ``(files_before, files_after)``.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    staging, trash = base + "__compacting", base + "__compacted_old"
+    for leftover in (staging, trash):  # crashed prior run
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+    before = glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(base)
+    if cluster_by:
+        out = df.repartitionByRange(
+            n_out, *[df[c] for c in cluster_by]
+        ).sortWithinPartitions(*cluster_by)
+    elif n_out < df.rdd.getNumPartitions():
+        out = df.coalesce(n_out)  # narrow merge, no shuffle
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(staging)
+
+    os.rename(base, trash)
+    os.rename(staging, base)
+    shutil.rmtree(trash)
+    after = glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True)
+    return len(before), len(after)

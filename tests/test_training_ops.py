@@ -363,3 +363,51 @@ def test_adaptive_length_filter_approx_twin_close_to_exact(spark):
     }
     # sketch cutoffs may move a few boundary docs, never the central mass
     assert len(exact & approx) >= int(0.95 * len(exact))
+
+
+def test_compact_dataset_merges_small_files(spark, tmp_path):
+    import glob
+
+    from datafusion_table_providers_spark.write.output import compact_dataset
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 20000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # simulate a fragmented sink
+    rows_before = spark.read.parquet(path).count()
+    n_before, n_after = compact_dataset(spark, path, target_file_bytes=1 << 30)
+    assert n_before == 64
+    assert n_after <= 2  # tiny dataset → one target-sized file
+    out = spark.read.parquet(path)
+    assert out.count() == rows_before
+    assert {r["id"] for r in out.collect()} == set(range(20000))
+    # staging/trash dirs cleaned up
+    assert glob.glob(str(tmp_path / "frag__*")) == []
+
+
+def test_compact_dataset_with_clustering_prunes(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import glob
+
+    from datafusion_table_providers_spark.write.output import compact_dataset
+
+    path = str(tmp_path / "cl")
+    spark.range(0, 40000).withColumn(
+        "k", (F.col("id") * 2654435761) % 40000
+    ).repartition(32).write.parquet(path)
+    compact_dataset(
+        spark, path, target_file_bytes=120_000, cluster_by=["k"]
+    )
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) > 1  # sizing split the rewrite
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        stats = [
+            md.row_group(i).column(1).statistics for i in range(md.num_row_groups)
+        ]
+        ranges.append(
+            (min(s.min for s in stats), max(s.max for s in stats))
+        )
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges → footer file-skipping
