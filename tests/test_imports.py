@@ -97,6 +97,7 @@ def test_examples_run(spark):
             "flight_demo",
             "postgres_demo",
             "clickhouse_demo",
+            "runtime_filter_demo",
         ):
             importlib.import_module(mod).main()
     finally:
