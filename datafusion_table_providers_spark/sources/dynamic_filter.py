@@ -58,8 +58,11 @@ def runtime_filter_clause(
 
     Returns ``(clause_sql, strategy)`` where strategy is one of
     ``in_list`` / ``range`` / ``empty`` / ``none``. ``clause_sql`` is None
-    only for ``none`` (min/max introspection returned NULL without the dim
-    being empty — all-NULL keys — where no superset clause helps).
+    for ``none``: min/max introspection returned NULL, or the key type's
+    ordering is not engine-invariant (strings/binary — a remote engine's
+    collation may order them differently from Spark, so a BETWEEN could
+    drop keys the join keeps, violating the superset contract; equality
+    semantics are collation-safe, so the IN-list path still applies).
 
     NULL keys never join, so they are excluded from the clause; a fact row
     with a NULL key is dropped remotely by ``IN``/range semantics exactly
@@ -70,13 +73,38 @@ def runtime_filter_clause(
     sample = [r[0] for r in keys.limit(in_list_max + 1).collect()]
     if not sample:
         return "FALSE", "empty"
+    # Spark joins treat NaN == NaN as TRUE; remote IN/BETWEEN semantics
+    # drop NaN rows. A NaN dim key therefore makes every clause lossy —
+    # bail out rather than violate the superset contract.
+    import math as _math
+
+    if any(isinstance(v, float) and _math.isnan(v) for v in sample):
+        return None, "none"
     if len(sample) <= in_list_max:
         lits = ", ".join(dialect.literal(v) for v in sorted(sample))
         return f"{q} IN ({lits})", "in_list"
-    row = keys.agg(
-        F.min(dim_key).alias("lo"), F.max(dim_key).alias("hi")
-    ).collect()[0]
-    if row["lo"] is None or row["hi"] is None:
+    from pyspark.sql import types as T
+
+    dtype = dim_df.schema[dim_key].dataType
+    ordered_ok = isinstance(
+        dtype,
+        (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType,
+            T.DateType, T.TimestampType, T.TimestampNTZType,
+        ),
+    )
+    if not ordered_ok:
+        return None, "none"
+    aggs = [F.min(dim_key).alias("lo"), F.max(dim_key).alias("hi")]
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        # the bounded sample above can miss a NaN hiding past the cap —
+        # scan-level check before trusting a float range
+        aggs.append(F.max(F.isnan(dim_key)).alias("has_nan"))
+    row = keys.agg(*aggs).collect()[0]
+    if row["lo"] is None or row["hi"] is None or bool(
+        row["has_nan"] if "has_nan" in row.__fields__ else False
+    ):
         return None, "none"
     lo, hi = dialect.literal(row["lo"]), dialect.literal(row["hi"])
     return f"{q} >= {lo} AND {q} <= {hi}", "range"

@@ -754,3 +754,44 @@ SUITE["c15_runtime_filter_scan"] = QueryCase(
     C15_SQL,
     "runtime semi-join reduction pushed into the connector scan SQL",
 )
+
+
+# --- C16: small-file compaction round-trip -------------------------------
+# Table maintenance certified like any query: fragment the documents table
+# into 64 tiny parquet files (a simulated streaming-sink aftermath),
+# compact with clustering on doc_id (write/output.py::compact_dataset —
+# staged atomic swap), and return the compacted dataset's contents. The
+# oracle reads the original table: a pass proves the rewrite is lossless
+# byte-for-value while the layout (few size-targeted files, disjoint
+# doc_id ranges) is asserted by unit tests.
+def c16_compacted_scan(spark, sf_dir):
+    utc(spark)
+    from datafusion_table_providers_spark.write.output import compact_dataset
+
+    app = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(), f"engine_compact_{_tag(sf_dir)}_{app}"
+    )
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    docs = spark.read.parquet(_pq(sf_dir, "documents"))
+    docs.repartition(64).write.parquet(path)
+    n_before, n_after = compact_dataset(
+        spark, path, target_file_bytes=64 << 20, cluster_by=["doc_id"]
+    )
+    assert n_before == 64 and n_after < 64, (n_before, n_after)
+    return spark.read.parquet(path).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+C16_SQL = "SELECT doc_id, lang, source, n_chars FROM documents"
+
+
+SUITE["c16_compacted_scan"] = QueryCase(
+    c16_compacted_scan,
+    C16_SQL,
+    "small-file compaction (staged atomic swap) is lossless",
+)

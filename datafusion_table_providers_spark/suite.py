@@ -80,7 +80,11 @@ for _mod, _attr in [
 #: c05b/c07/c08/c13 keep the rest of the write path certified),
 #: d35_ensemble_neardup for d03b (d35 executes the d02b/d03b/d04 builders
 #: verbatim and unions them), and p03_corpus_report for p01b (p02 keeps the
-#: pipeline capstone slot).
+#: pipeline capstone slot). c15_runtime_filter_scan (dynamic-filter
+#: pushdown) later replaces r2+r3-green c01. Round-5 rotation candidates
+#: (registered after the window, strict-local green, never
+#: driver-certified): c16_compacted_scan, d36_budget_repeat,
+#: d37_dup_source_matrix, d38_adaptive_length_filter.
 PRIORITY_WINDOW = [
     # connector family (§2.A scan/pushdown/federation/write) — 9
     # c15 (runtime semi-join reduction) replaces r2+r3-certified c01: the

@@ -225,3 +225,46 @@ def test_engine_reduced_view_empty_dim_scans_nothing(spark, tmp_path):
     eng.register_backend_table("fact", DuckDBBackend(path))
     dim = spark.createDataFrame([], "k int")
     assert eng.reduced_view("fact", "k", dim).count() == 0
+
+
+def test_string_keys_over_cap_skip_range_fallback(spark):
+    # a remote engine's collation may order strings differently from
+    # Spark's binary ordering — a BETWEEN could then drop keys the join
+    # keeps. Over the IN cap, string keys must yield NO clause.
+    dim = spark.createDataFrame(
+        [(f"key{i}",) for i in range(50)], "k string"
+    )
+    clause, strategy = runtime_filter_clause(
+        dim, "k", DIALECTS["duckdb"], in_list_max=10
+    )
+    assert (clause, strategy) == (None, "none")
+
+
+def test_nan_keys_disable_the_clause(spark):
+    # Spark joins match NaN == NaN; remote IN/BETWEEN drop NaN rows — any
+    # NaN dim key makes every pushdown clause lossy
+    dim = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (2.0,)], "k double"
+    )
+    assert runtime_filter_clause(dim, "k", DIALECTS["duckdb"]) == (
+        None,
+        "none",
+    )
+
+
+def test_nan_past_the_sample_cap_disables_range(spark):
+    vals = [(float(i),) for i in range(40)] + [(float("nan"),)]
+    dim = spark.createDataFrame(vals, "k double")
+    clause, strategy = runtime_filter_clause(
+        dim, "k", DIALECTS["duckdb"], in_list_max=5
+    )
+    assert (clause, strategy) == (None, "none")
+
+
+def test_float_range_without_nan_still_works(spark):
+    dim = spark.createDataFrame([(float(i),) for i in range(40)], "k double")
+    clause, strategy = runtime_filter_clause(
+        dim, "k", DIALECTS["duckdb"], in_list_max=5
+    )
+    assert strategy == "range"
+    assert clause.startswith('"k" >= ')
