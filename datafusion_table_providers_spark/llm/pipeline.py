@@ -354,3 +354,114 @@ SUITE["p03_corpus_report"] = QueryCase(
     _p03_sql(),
     "dataset-card corpus report (8 scalar metrics, one row each)",
 )
+
+
+# --- p04: training-mix materialization capstone ---------------------------
+# The session-4 ops composed end-to-end: adaptive per-language length
+# filtering (d38) gates the corpus, temperature-scaled mixture quotas
+# (d32 math) are computed over the FILTERED corpus, per-document epoch
+# repeats (d36 math) materialize them, and the result is the per-source
+# mix summary a training run consumes: docs kept, total epoch copies,
+# char mass including repeats. Every stage is a tiny aggregate broadcast
+# onto one corpus scan — the whole capstone is two small shuffles
+# (percentile-by-lang, count-by-source) regardless of corpus size. The
+# mixture math is re-derived inline on the filtered set (quota over kept
+# docs, not raw docs — filtering first changes the weights, which is the
+# point of running the gate before the mix).
+def p04_training_mix(spark, sf_dir):
+    from datafusion_table_providers_spark.llm.curation import (
+        MIX_BUDGET,
+        d38_adaptive_length_filter,
+    )
+
+    kept = d38_adaptive_length_filter(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = kept.join(src, "doc_id")
+    per = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = F.floor(
+        F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    ws = per.withColumn("w", w)
+    tot = ws.agg(F.sum("w").alias("w_total"))
+    p = F.col("w").cast("double") / F.col("w_total").cast("double")
+    mix = ws.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(p * F.lit(float(MIX_BUDGET)) + F.lit(0.5))
+        .cast("long")
+        .alias("quota_docs"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    rep = docs.join(F.broadcast(mix), "source").select(
+        "source",
+        "n_chars",
+        (
+            F.expr("quota_docs div n_docs")
+            + F.when(
+                bucket * F.col("n_docs")
+                < (F.col("quota_docs") % F.col("n_docs")) * F.lit(4294967296),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_copies"),
+    )
+    return rep.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_copies").alias("total_copies"),
+        F.sum(F.col("n_copies") * F.col("n_chars")).alias(
+            "total_chars_repeated"
+        ),
+    )
+
+
+def _p04_sql() -> str:
+    from datafusion_table_providers_spark.llm.curation import (
+        MIX_BUDGET,
+        _D38_SQL,
+    )
+    from datafusion_table_providers_spark.llm.dedup import _hex8_sql
+
+    bucket = _hex8_sql("m", 1)
+    return f"""
+WITH kept AS ({_D38_SQL}),
+docs AS (
+  SELECT k.doc_id, k.n_chars, d.source,
+         md5(CAST(k.doc_id AS VARCHAR)) AS m
+  FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+),
+s AS (SELECT source, COUNT(*) AS n_docs FROM docs GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS w
+  FROM s
+),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM w),
+mix AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)
+                    * {MIX_BUDGET}.0 + 0.5) AS BIGINT) AS quota_docs
+  FROM w CROSS JOIN t
+),
+rep AS (
+  SELECT d.source, d.n_chars,
+         CAST(mix.quota_docs // mix.n_docs
+              + CASE WHEN {bucket} * mix.n_docs
+                          < (mix.quota_docs % mix.n_docs) * 4294967296
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM docs d JOIN mix ON d.source = mix.source
+)
+SELECT source, COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_copies) AS BIGINT) AS total_copies,
+       CAST(SUM(n_copies * n_chars) AS BIGINT) AS total_chars_repeated
+FROM rep GROUP BY source
+"""
+
+
+SUITE["p04_training_mix"] = QueryCase(
+    p04_training_mix,
+    _p04_sql(),
+    "filter -> mixture -> epoch-repeat capstone (per-source mix summary)",
+)

@@ -106,6 +106,7 @@ def _assert_parity(spark, sf_dir, name):
         "d35_ensemble_neardup",
         "d37_dup_source_matrix",
         "p03_corpus_report",
+        "p04_training_mix",
         "m01_multimodal_meta",
         "m02_frame_sample",
         "m03_resize",
