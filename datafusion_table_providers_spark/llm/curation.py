@@ -633,3 +633,99 @@ SUITE["d38_adaptive_length_filter"] = QueryCase(
     _D38_SQL,
     "per-language percentile length cutoffs (exact; approx twin for scale)",
 )
+
+
+# --- d39: deterministic training-order shuffle ----------------------------
+# After the mix materializes (d36), a training run needs its (doc, epoch)
+# instances in a randomized-but-REPRODUCIBLE global order, sharded for
+# parallel loaders: re-running a failed job must produce byte-identical
+# shards. Position key = md5(doc_id:epoch:seed) — epoch copies of one doc
+# scatter across the whole order (no epoch boundaries), and changing the
+# seed reshuffles everything deterministically. The key string is made
+# UNIQUE by suffixing doc_id/epoch (hash ties would otherwise make
+# first/last nondeterministic across engines); hex+zero-padded-digit
+# strings compare identically in Spark and DuckDB binary collation.
+# Certification returns per-shard summaries (count, first/last instance
+# by key order, key checksum), bounded at N_SHUFFLE_SHARDS rows; the full
+# ordered manifest is the same table before the groupBy — at scale,
+# range-partition on skey and write (the sort is per-shard, never global).
+N_SHUFFLE_SHARDS = 16
+SHUFFLE_SEED = 20260814
+
+
+def d39_training_order(spark, sf_dir):
+    rep = d36_budget_repeat(spark, sf_dir).where(F.col("n_copies") > 0)
+    inst = rep.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
+    )
+    m = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("epoch").cast("string"),
+            F.lit(str(SHUFFLE_SEED)),
+        )
+    )
+    keyed = inst.select(
+        "doc_id",
+        "epoch",
+        F.concat(
+            F.substring(m, 1, 15),
+            F.lit("-"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+            F.lit("-"),
+            F.lpad(F.col("epoch").cast("string"), 4, "0"),
+        ).alias("skey"),
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("kh"),
+    )
+    shard = (F.col("kh") % N_SHUFFLE_SHARDS).cast("int")
+    return (
+        keyed.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_instances"),
+            F.min_by("doc_id", F.col("skey")).alias("first_doc"),
+            F.max_by("doc_id", F.col("skey")).alias("last_doc"),
+            F.sum("kh").alias("key_checksum"),
+        )
+    )
+
+
+def _d39_sql() -> str:
+    from datafusion_table_providers_spark.llm.dedup import _hex8_sql
+
+    # reuse the d36 SQL as the repeats source; DuckDB explodes via
+    # generate_series lateral join
+    return f"""
+WITH rep AS ({_d36_sql()}),
+inst AS (
+  SELECT r.doc_id, gs.epoch,
+         md5(CAST(r.doc_id AS VARCHAR) || ':' || CAST(gs.epoch AS VARCHAR)
+             || ':' || '{SHUFFLE_SEED}') AS m
+  FROM rep r, LATERAL (
+    SELECT unnest(generate_series(1, CAST(r.n_copies AS INTEGER))) AS epoch
+  ) gs
+  WHERE r.n_copies > 0
+),
+keyed AS (
+  SELECT doc_id, epoch,
+         substr(m, 1, 15) || '-' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+           || '-' || lpad(CAST(epoch AS VARCHAR), 4, '0') AS skey,
+         {_hex8_sql('m', 1)} AS kh
+  FROM inst
+)
+SELECT CAST(kh % {N_SHUFFLE_SHARDS} AS INTEGER) AS shard,
+       COUNT(*) AS n_instances,
+       arg_min(doc_id, skey) AS first_doc,
+       arg_max(doc_id, skey) AS last_doc,
+       CAST(SUM(kh) AS BIGINT) AS key_checksum
+FROM keyed GROUP BY shard
+"""
+
+
+SUITE["d39_training_order"] = QueryCase(
+    d39_training_order,
+    _d39_sql(),
+    "seeded reproducible global shuffle into loader shards (summaries)",
+)

@@ -102,6 +102,7 @@ def _assert_parity(spark, sf_dir, name):
         "d32_mixture_weights",
         "d36_budget_repeat",
         "d38_adaptive_length_filter",
+        "d39_training_order",
         "d34_dedup_keep_best",
         "d35_ensemble_neardup",
         "d37_dup_source_matrix",

@@ -411,3 +411,34 @@ def test_compact_dataset_with_clustering_prunes(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint key ranges → footer file-skipping
+
+
+def test_training_order_shards_balanced_and_deterministic(spark):
+    from datafusion_table_providers_spark.llm.curation import (
+        N_SHUFFLE_SHARDS,
+        d36_budget_repeat,
+        d39_training_order,
+    )
+
+    rows = {r["shard"]: r for r in d39_training_order(spark, SF).collect()}
+    assert set(rows) == set(range(N_SHUFFLE_SHARDS))
+    total = sum(r["n_instances"] for r in rows.values())
+    expected = (
+        d36_budget_repeat(spark, SF)
+        .agg(F.sum("n_copies").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert total == expected  # every materialized instance lands somewhere
+    counts = [r["n_instances"] for r in rows.values()]
+    assert max(counts) < 3 * (total // N_SHUFFLE_SHARDS)  # hash balance
+    again = {r["shard"]: r for r in d39_training_order(spark, SF).collect()}
+    for s in rows:  # reproducible run-to-run: same first/last/checksum
+        assert (
+            rows[s]["first_doc"],
+            rows[s]["last_doc"],
+            rows[s]["key_checksum"],
+        ) == (
+            again[s]["first_doc"],
+            again[s]["last_doc"],
+            again[s]["key_checksum"],
+        )
