@@ -185,18 +185,12 @@ class Engine:
             IN_LIST_MAX,
             runtime_filter_clause,
         )
-        from datafusion_table_providers_spark.sources.duckdb_source import (
-            duckdb_reader_df,
-        )
-        from datafusion_table_providers_spark.sources.sqlite_source import (
-            sqlite_reader_df,
-        )
 
         handle = self._tables[name]
         backend = handle.backend
         if backend is None:
             raise ValueError(f"{name} is not a connector-backed table")
-        clause, strategy = runtime_filter_clause(
+        clause, _strategy = runtime_filter_clause(
             dim_df,
             dim_key or fact_key,
             backend.dialect,
@@ -204,19 +198,10 @@ class Engine:
             in_list_max=IN_LIST_MAX if in_list_max is None else in_list_max,
         )
         extra = [clause] if clause is not None else []
-        ctx = backend.compute_context()
-        if ctx.startswith("duckdb:"):
-            df = duckdb_reader_df(
-                self.spark, backend, handle.remote_relation,
-                columns=columns, extra_where=extra,
-            )
-        elif ctx.startswith("sqlite:"):
-            df = sqlite_reader_df(
-                self.spark, backend, handle.remote_relation,
-                columns=columns, extra_where=extra,
-            )
-        else:
-            raise ValueError(f"no connector for backend context {ctx}")
+        df = self._connector_df(
+            backend, handle.remote_relation, None, 1,
+            columns=columns, extra_where=extra,
+        )
         df.createOrReplaceTempView(view_name or f"{name}_reduced")
         return df
 
@@ -227,6 +212,7 @@ class Engine:
         partition_column: Optional[str],
         num_partitions: int,
         columns: Optional[list] = None,
+        extra_where: Optional[list] = None,
     ) -> DataFrame:
         from datafusion_table_providers_spark.sources.duckdb_source import (
             duckdb_reader_df,
@@ -244,9 +230,13 @@ class Engine:
                 partition_column,
                 num_partitions,
                 columns=columns,
+                extra_where=extra_where,
             )
         if ctx.startswith("sqlite:"):
-            return sqlite_reader_df(self.spark, backend, relation, columns=columns)
+            return sqlite_reader_df(
+                self.spark, backend, relation,
+                columns=columns, extra_where=extra_where,
+            )
         raise ValueError(f"no connector for backend context {ctx}")
 
     # -- query ------------------------------------------------------------

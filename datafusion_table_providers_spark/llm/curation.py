@@ -434,9 +434,11 @@ SUITE["d31_intradoc_dedup"] = QueryCase(
 MIX_BUDGET = 100_000
 
 
-def d32_mixture_weights(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    per_src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+def mixture_quotas(docs_df, budget: int = MIX_BUDGET):
+    """(source, n_docs, mix_weight, quota_docs) over any docs frame with a
+    ``source`` column — the single home of the d32 math, shared by d32
+    (full corpus), p04 (filtered corpus), and anything downstream."""
+    per_src = docs_df.groupBy("source").agg(F.count("*").alias("n_docs"))
     w_scaled = F.floor(
         F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e9) + F.lit(0.5)
     ).cast("long")
@@ -447,14 +449,20 @@ def d32_mixture_weights(spark, sf_dir):
         "source",
         "n_docs",
         _r(p, 6).alias("mix_weight"),
-        F.floor(p * F.lit(float(MIX_BUDGET)) + F.lit(0.5))
+        F.floor(p * F.lit(float(budget)) + F.lit(0.5))
         .cast("long")
         .alias("quota_docs"),
     )
 
 
-_D32_SQL = f"""
-WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+def d32_mixture_weights(spark, sf_dir):
+    return mixture_quotas(_t(spark, sf_dir, "documents"), MIX_BUDGET)
+
+
+def _mix_sql(docs_rel: str, budget: int = MIX_BUDGET) -> str:
+    """SQL twin of ``mixture_quotas`` over relation/CTE ``docs_rel``."""
+    return f"""
+WITH s AS (SELECT source, COUNT(*) AS n_docs FROM {docs_rel} GROUP BY source),
 w AS (
   SELECT source, n_docs,
          CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS w
@@ -463,9 +471,33 @@ w AS (
 t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM w)
 SELECT source, n_docs,
        {_rsql('CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)', 6)} AS mix_weight,
-       CAST(FLOOR(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE) * {MIX_BUDGET}.0 + 0.5) AS BIGINT) AS quota_docs
+       CAST(FLOOR(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE) * {budget}.0 + 0.5) AS BIGINT) AS quota_docs
 FROM w CROSS JOIN t
 """
+
+
+_D32_SQL = _mix_sql("documents")
+
+
+def _extra_copy_cond(bucket_col, n_col, rem_col):
+    """The fractional-remainder extra-copy draw: bucket/2^32 < rem/n, as
+    ONE IEEE-double threshold comparison — the identical instruction
+    sequence on both engines, deterministic, and overflow-free at any
+    n_docs (the earlier exact-integer form ``bucket*n < rem*2^32``
+    overflows 64-bit once a source holds >= 2^31 documents)."""
+    thr = (
+        rem_col.cast("double") * F.lit(4294967296.0) / n_col.cast("double")
+    )
+    return bucket_col.cast("double") < thr
+
+
+def _extra_copy_case_sql(bucket: str, n: str, rem: str) -> str:
+    """SQL twin of ``_extra_copy_cond`` (same operation order)."""
+    return (
+        f"CASE WHEN CAST({bucket} AS DOUBLE) < "
+        f"CAST({rem} AS DOUBLE) * 4294967296.0 / CAST({n} AS DOUBLE) "
+        f"THEN 1 ELSE 0 END"
+    )
 
 
 SUITE["d32_mixture_weights"] = QueryCase(
@@ -517,11 +549,12 @@ SUITE["d13b_curation_scrub"] = QueryCase(
 # decides, per document, HOW MANY epochs of it the training run reads —
 # the step that turns mixture weights into an actual sampled corpus
 # (repeat factor > 1 upsamples small sources, < 1 subsamples large ones).
-# All integer math: full copies = quota div n_docs; the fractional
-# remainder becomes one extra copy for documents whose md5 bucket clears a
-# threshold compared EXACTLY in 64-bit integers (bucket/2^32 < rem/n ⟺
-# bucket*n < rem*2^32 — no float, no engine rounding drift). Expected
-# extra-copy count = rem, so expected total = quota per source.
+# Full copies = quota div n_docs (exact integers); the fractional
+# remainder becomes one extra copy for documents whose md5 bucket clears
+# the rem/n threshold — a single IEEE-double comparison computed in the
+# same operation order on both engines (_extra_copy_cond), deterministic
+# and overflow-free at any source size. Expected extra-copy count = rem,
+# so expected total = quota per source.
 # Scale shape: one tiny d32 aggregate broadcast onto a single
 # full-corpus scan — no window, no shuffle keyed on anything skewed, and
 # the per-doc hash makes the sample reproducible run-to-run (the property
@@ -542,8 +575,11 @@ def d36_budget_repeat(spark, sf_dir):
         (
             F.expr("quota_docs div n_docs")
             + F.when(
-                bucket * F.col("n_docs")
-                < (F.col("quota_docs") % F.col("n_docs")) * F.lit(4294967296),
+                _extra_copy_cond(
+                    bucket,
+                    F.col("n_docs"),
+                    F.col("quota_docs") % F.col("n_docs"),
+                ),
                 F.lit(1),
             ).otherwise(F.lit(0))
         )
@@ -555,17 +591,16 @@ def d36_budget_repeat(spark, sf_dir):
 def _d36_sql() -> str:
     from datafusion_table_providers_spark.llm.dedup import _hex8_sql
 
-    bucket = _hex8_sql("m", 1)
+    case = _extra_copy_case_sql(
+        _hex8_sql("m", 1), "mix.n_docs", "mix.quota_docs % mix.n_docs"
+    )
     return f"""
 WITH mix AS ({_D32_SQL}),
 docs AS (
   SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents
 )
 SELECT d.doc_id, d.source,
-       CAST(mix.quota_docs // mix.n_docs
-            + CASE WHEN {bucket} * mix.n_docs
-                        < (mix.quota_docs % mix.n_docs) * 4294967296
-                   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+       CAST(mix.quota_docs // mix.n_docs + {case} AS BIGINT) AS n_copies
 FROM docs d JOIN mix ON d.source = mix.source
 """
 
@@ -594,18 +629,24 @@ MIN_LANG_DOCS = 20
 
 
 def d38_adaptive_length_filter(spark, sf_dir, approx: bool = False):
-    d = _t(spark, sf_dir, "documents")
+    # NULL-lang docs form their own group via a sentinel key — an equi-join
+    # on raw lang would silently drop them (NULL never equals NULL)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "lang_key", F.coalesce(F.col("lang"), F.lit("<null>"))
+    )
     pct = (
         (lambda c, p: F.expr(f"approx_percentile({c}, {p})"))
         if approx
         else (lambda c, p: F.percentile(c, p))
     )
-    thr = d.groupBy("lang").agg(
+    thr = d.groupBy("lang_key").agg(
         pct("n_chars", 0.05).alias("lo"),
         pct("n_chars", 0.95).alias("hi"),
         F.count("*").alias("n_lang"),
     )
-    j = d.select("doc_id", "lang", "n_chars").join(F.broadcast(thr), "lang")
+    j = d.select("doc_id", "lang", "lang_key", "n_chars").join(
+        F.broadcast(thr), "lang_key"
+    )
     keep = (F.col("n_lang") < MIN_LANG_DOCS) | (
         (F.col("n_chars") >= F.col("lo") - 1e-6)
         & (F.col("n_chars") <= F.col("hi") + 1e-6)
@@ -614,15 +655,19 @@ def d38_adaptive_length_filter(spark, sf_dir, approx: bool = False):
 
 
 _D38_SQL = f"""
-WITH thr AS (
-  SELECT lang,
+WITH docs AS (
+  SELECT doc_id, lang, COALESCE(lang, '<null>') AS lang_key, n_chars
+  FROM documents
+),
+thr AS (
+  SELECT lang_key,
          percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
          percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi,
          COUNT(*) AS n_lang
-  FROM documents GROUP BY lang
+  FROM docs GROUP BY lang_key
 )
 SELECT doc_id, d.lang, n_chars
-FROM documents d JOIN thr ON d.lang = thr.lang
+FROM docs d JOIN thr ON d.lang_key = thr.lang_key
 WHERE n_lang < {MIN_LANG_DOCS}
    OR (n_chars >= lo - 1e-6 AND n_chars <= hi + 1e-6)
 """
@@ -670,12 +715,15 @@ def d39_training_order(spark, sf_dir):
     keyed = inst.select(
         "doc_id",
         "epoch",
+        # pad widths hold the full int64/int32 digit range — lpad TRUNCATES
+        # over-width input on both engines, which would silently break the
+        # uniqueness this suffix exists for
         F.concat(
             F.substring(m, 1, 15),
             F.lit("-"),
-            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+            F.lpad(F.col("doc_id").cast("string"), 20, "0"),
             F.lit("-"),
-            F.lpad(F.col("epoch").cast("string"), 4, "0"),
+            F.lpad(F.col("epoch").cast("string"), 10, "0"),
         ).alias("skey"),
         F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("kh"),
     )
@@ -710,8 +758,8 @@ inst AS (
 ),
 keyed AS (
   SELECT doc_id, epoch,
-         substr(m, 1, 15) || '-' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
-           || '-' || lpad(CAST(epoch AS VARCHAR), 4, '0') AS skey,
+         substr(m, 1, 15) || '-' || lpad(CAST(doc_id AS VARCHAR), 20, '0')
+           || '-' || lpad(CAST(epoch AS VARCHAR), 10, '0') AS skey,
          {_hex8_sql('m', 1)} AS kh
   FROM inst
 )

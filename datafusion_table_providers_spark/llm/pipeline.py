@@ -370,27 +370,15 @@ SUITE["p03_corpus_report"] = QueryCase(
 # point of running the gate before the mix).
 def p04_training_mix(spark, sf_dir):
     from datafusion_table_providers_spark.llm.curation import (
-        MIX_BUDGET,
+        _extra_copy_cond,
         d38_adaptive_length_filter,
+        mixture_quotas,
     )
 
     kept = d38_adaptive_length_filter(spark, sf_dir)
     src = _t(spark, sf_dir, "documents").select("doc_id", "source")
     docs = kept.join(src, "doc_id")
-    per = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    w = F.floor(
-        F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e9) + F.lit(0.5)
-    ).cast("long")
-    ws = per.withColumn("w", w)
-    tot = ws.agg(F.sum("w").alias("w_total"))
-    p = F.col("w").cast("double") / F.col("w_total").cast("double")
-    mix = ws.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        F.floor(p * F.lit(float(MIX_BUDGET)) + F.lit(0.5))
-        .cast("long")
-        .alias("quota_docs"),
-    )
+    mix = mixture_quotas(docs).select("source", "n_docs", "quota_docs")
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -400,8 +388,11 @@ def p04_training_mix(spark, sf_dir):
         (
             F.expr("quota_docs div n_docs")
             + F.when(
-                bucket * F.col("n_docs")
-                < (F.col("quota_docs") % F.col("n_docs")) * F.lit(4294967296),
+                _extra_copy_cond(
+                    bucket,
+                    F.col("n_docs"),
+                    F.col("quota_docs") % F.col("n_docs"),
+                ),
                 F.lit(1),
             ).otherwise(F.lit(0))
         )
@@ -419,12 +410,15 @@ def p04_training_mix(spark, sf_dir):
 
 def _p04_sql() -> str:
     from datafusion_table_providers_spark.llm.curation import (
-        MIX_BUDGET,
         _D38_SQL,
+        _extra_copy_case_sql,
+        _mix_sql,
     )
     from datafusion_table_providers_spark.llm.dedup import _hex8_sql
 
-    bucket = _hex8_sql("m", 1)
+    case = _extra_copy_case_sql(
+        _hex8_sql("m", 1), "mix.n_docs", "mix.quota_docs % mix.n_docs"
+    )
     return f"""
 WITH kept AS ({_D38_SQL}),
 docs AS (
@@ -432,25 +426,10 @@ docs AS (
          md5(CAST(k.doc_id AS VARCHAR)) AS m
   FROM kept k JOIN documents d ON k.doc_id = d.doc_id
 ),
-s AS (SELECT source, COUNT(*) AS n_docs FROM docs GROUP BY source),
-w AS (
-  SELECT source, n_docs,
-         CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS w
-  FROM s
-),
-t AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM w),
-mix AS (
-  SELECT source, n_docs,
-         CAST(FLOOR(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)
-                    * {MIX_BUDGET}.0 + 0.5) AS BIGINT) AS quota_docs
-  FROM w CROSS JOIN t
-),
+mix AS ({_mix_sql('docs')}),
 rep AS (
   SELECT d.source, d.n_chars,
-         CAST(mix.quota_docs // mix.n_docs
-              + CASE WHEN {bucket} * mix.n_docs
-                          < (mix.quota_docs % mix.n_docs) * 4294967296
-                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         CAST(mix.quota_docs // mix.n_docs + {case} AS BIGINT) AS n_copies
   FROM docs d JOIN mix ON d.source = mix.source
 )
 SELECT source, COUNT(*) AS n_docs_kept,

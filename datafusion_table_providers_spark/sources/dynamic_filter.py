@@ -75,10 +75,12 @@ def runtime_filter_clause(
         return "FALSE", "empty"
     # Spark joins treat NaN == NaN as TRUE; remote IN/BETWEEN semantics
     # drop NaN rows. A NaN dim key therefore makes every clause lossy —
-    # bail out rather than violate the superset contract.
+    # bail out rather than violate the superset contract. Infinities are
+    # declined too: some dialects cannot render them as literals (MySQL
+    # raises), and a graceful (None, 'none') beats an exception mid-scan.
     import math as _math
 
-    if any(isinstance(v, float) and _math.isnan(v) for v in sample):
+    if any(isinstance(v, float) and not _math.isfinite(v) for v in sample):
         return None, "none"
     if len(sample) <= in_list_max:
         lits = ", ".join(dialect.literal(v) for v in sorted(sample))
@@ -98,12 +100,18 @@ def runtime_filter_clause(
         return None, "none"
     aggs = [F.min(dim_key).alias("lo"), F.max(dim_key).alias("hi")]
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
-        # the bounded sample above can miss a NaN hiding past the cap —
+        # the bounded sample above can miss a NaN/inf hiding past the cap —
         # scan-level check before trusting a float range
-        aggs.append(F.max(F.isnan(dim_key)).alias("has_nan"))
+        c = F.col(dim_key)
+        bad = (
+            F.isnan(c)
+            | (c == F.lit(float("inf")))
+            | (c == F.lit(float("-inf")))
+        )
+        aggs.append(F.max(bad).alias("has_bad"))
     row = keys.agg(*aggs).collect()[0]
     if row["lo"] is None or row["hi"] is None or bool(
-        row["has_nan"] if "has_nan" in row.__fields__ else False
+        row["has_bad"] if "has_bad" in row.__fields__ else False
     ):
         return None, "none"
     lo, hi = dialect.literal(row["lo"]), dialect.literal(row["hi"])

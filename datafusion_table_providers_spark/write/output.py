@@ -158,7 +158,15 @@ def compact_dataset(
 
     base = path.rstrip("/")
     staging, trash = base + "__compacting", base + "__compacted_old"
-    for leftover in (staging, trash):  # crashed prior run
+    # Crashed-run recovery — ORDER MATTERS. A crash between the two publish
+    # renames below leaves the dataset only in `trash`; restore it before
+    # any cleanup, and never delete a sibling dir unless `base` exists
+    # (deleting trash while base is missing would destroy the only copy).
+    if not os.path.exists(base) and os.path.exists(trash):
+        os.rename(trash, base)
+    if not os.path.exists(base):
+        raise FileNotFoundError(f"compact_dataset: no dataset at {base}")
+    for leftover in (staging, trash):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
 

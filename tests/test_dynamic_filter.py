@@ -268,3 +268,24 @@ def test_float_range_without_nan_still_works(spark):
     )
     assert strategy == "range"
     assert clause.startswith('"k" >= ')
+
+
+def test_infinite_keys_disable_the_clause_gracefully(spark):
+    # MySQL cannot render inf literals — the ladder must degrade to
+    # (None, 'none'), not raise mid-scan-build
+    dim = spark.createDataFrame(
+        [(1.0,), (float("inf"),)], "k double"
+    )
+    for name in ("mysql", "duckdb"):
+        assert runtime_filter_clause(dim, "k", DIALECTS[name]) == (
+            None,
+            "none",
+        )
+
+
+def test_inf_past_the_sample_cap_disables_range(spark):
+    vals = [(float(i),) for i in range(40)] + [(float("-inf"),)]
+    dim = spark.createDataFrame(vals, "k double")
+    assert runtime_filter_clause(
+        dim, "k", DIALECTS["duckdb"], in_list_max=5
+    ) == (None, "none")

@@ -442,3 +442,23 @@ def test_training_order_shards_balanced_and_deterministic(spark):
             again[s]["last_doc"],
             again[s]["key_checksum"],
         )
+
+
+def test_compact_dataset_recovers_mid_swap_crash(spark, tmp_path):
+    import os
+    import shutil
+
+    from datafusion_table_providers_spark.write.output import compact_dataset
+
+    path = str(tmp_path / "crash")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    # simulate a crash between the two publish renames: dataset lives only
+    # in the trash dir, plus a stale staging dir
+    os.rename(path, path + "__compacted_old")
+    os.makedirs(path + "__compacting")
+    n_before, n_after = compact_dataset(spark, path, target_file_bytes=1 << 30)
+    assert n_before == 8 and n_after >= 1
+    assert spark.read.parquet(path).count() == 1000  # nothing lost
+    assert not os.path.exists(path + "__compacted_old")
+    assert not os.path.exists(path + "__compacting")
+    shutil.rmtree(path)
