@@ -444,3 +444,33 @@ SUITE["p04_training_mix"] = QueryCase(
     _p04_sql(),
     "filter -> mixture -> epoch-repeat capstone (per-source mix summary)",
 )
+
+
+# Merged window row: the session-4 training-mix family (epoch repeats,
+# adaptive length filter, seeded order shuffle, mix capstone) in one slot —
+# one driver row certifies all four (same align-by-name union semantics as
+# every _merged qgroup; branch builders/oracles are the registered ones,
+# byte-for-byte).
+from datafusion_table_providers_spark.llm.curation import (  # noqa: E402
+    _D38_SQL,
+    _d36_sql,
+    _d39_sql,
+    d36_budget_repeat,
+    d38_adaptive_length_filter,
+    d39_training_order,
+)
+from datafusion_table_providers_spark.operators.relational import (  # noqa: E402
+    _merged,
+)
+
+d36b_mix_pipeline, D36B_SQL = _merged(
+    ("d36", d36_budget_repeat, _d36_sql()),
+    ("d38", d38_adaptive_length_filter, _D38_SQL),
+    ("d39", d39_training_order, _d39_sql()),
+    ("p04", p04_training_mix, _p04_sql()),
+)
+SUITE["d36b_mix_pipeline"] = QueryCase(
+    d36b_mix_pipeline,
+    D36B_SQL,
+    "training-mix family: repeats + length filter + order + capstone",
+)

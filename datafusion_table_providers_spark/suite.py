@@ -81,10 +81,12 @@ for _mod, _attr in [
 #: d35_ensemble_neardup for d03b (d35 executes the d02b/d03b/d04 builders
 #: verbatim and unions them), and p03_corpus_report for p01b (p02 keeps the
 #: pipeline capstone slot). c15_runtime_filter_scan (dynamic-filter
-#: pushdown) later replaces r2+r3-green c01. Round-5 rotation candidates
-#: (registered after the window, strict-local green, never
-#: driver-certified): c16_compacted_scan, d36_budget_repeat,
-#: d37_dup_source_matrix, d38_adaptive_length_filter.
+#: pushdown) later replaces r2+r3-green c01; the session's remaining new
+#: ops certify in-round too — d36b_mix_pipeline (d36+d38+d39+p04 merged)
+#: replaces r2+r3-green d14 (whose hash-threshold sampling also runs
+#: inside the in-window p02 capstone), c16_compacted_scan replaces
+#: r2+r3-green c07 (SQLite writes stay covered by c13), and
+#: d37_dup_source_matrix replaces r2+r3-green d10b.
 PRIORITY_WINDOW = [
     # connector family (§2.A scan/pushdown/federation/write) — 9
     # c15 (runtime semi-join reduction) replaces r2+r3-certified c01: the
@@ -95,7 +97,7 @@ PRIORITY_WINDOW = [
     "c03b_federation_catalog",
     "c14_signature_store_dedup",
     "c05b_upsert_dml",
-    "c07_sqlite_roundtrip",
+    "c16_compacted_scan",
     "c08_duckdb_overwrite",
     "c12_adbc_scan",
     "c13_sqlite_dml",
@@ -115,12 +117,12 @@ PRIORITY_WINDOW = [
     # quality-scoring family represented; d29b certifies d29+d30+d32)
     "d29b_tokenizer_prep",
     "d09c_text_search",
-    "d10b_fingerprint_repetition",
+    "d37_dup_source_matrix",
     "d27_vocab_stats",
     "d28_gopher_rules",
     # curation — 3 rows, 6 ops (d13b merges d13+d24+d25+d31)
     "d13b_curation_scrub",
-    "d14_stratified_sample",
+    "d36b_mix_pipeline",
     "d15_sequence_packing",
     # multimodal (meta/frames/resize/features in 2 merged rows) +
     # pipelines (incl. the p02 capstone solo row) — 4
