@@ -1159,3 +1159,62 @@ SUITE["b31_stream_sessions"] = QueryCase(
     B31_SQL,
     "stateful streaming sessionization (applyInPandasWithState) == batch sessions",
 )
+
+
+# B32: streaming -> connector-write sink certified against the batch
+# oracle. The events stream lands in a DuckDB table through the
+# exactly-once foreachBatch sink (streaming/events.py::stream_to_backend:
+# staging-transaction + commit-log dedup, the reference's write.rs
+# staging discipline applied to micro-batches), is scanned BACK through
+# the connector, and aggregated — a pass certifies the full
+# stream -> write path -> scan loop, not just the stream.
+def b32_stream_connector_sink(spark, sf_dir):
+    utc(spark)
+    import shutil
+    import tempfile
+
+    from datafusion_table_providers_spark.sources.backends import (
+        DuckDBBackend,
+    )
+    from datafusion_table_providers_spark.sources.duckdb_source import (
+        duckdb_reader_df,
+    )
+    from datafusion_table_providers_spark.streaming.events import (
+        event_stream,
+        stream_to_backend,
+    )
+
+    app = spark.sparkContext.applicationId
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"engine_b32_{tag}_{app}")
+    for leftover in (base + ".duckdb", base + "_ckpt"):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+        elif os.path.exists(leftover):
+            os.remove(leftover)
+    backend = DuckDBBackend(base + ".duckdb")
+    q = stream_to_backend(
+        event_stream(spark, sf_dir), backend, "events_sink", base + "_ckpt"
+    )
+    assert q.awaitTermination(300), "streaming sink did not drain"
+    backend.close()  # release RW lock -> executors open read-only
+    df = duckdb_reader_df(
+        spark, backend, "events_sink", columns=["event_type", "value"]
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        _r(F.sum("value")).alias("sum_value"),
+    )
+
+
+B32_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {_rsql("SUM(value)")} AS sum_value
+FROM events GROUP BY event_type
+"""
+
+SUITE["b32_stream_connector_sink"] = QueryCase(
+    b32_stream_connector_sink,
+    B32_SQL,
+    "stream -> exactly-once connector sink -> scan-back == batch aggregate",
+)

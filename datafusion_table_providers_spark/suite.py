@@ -126,7 +126,10 @@ PRIORITY_WINDOW = [
     "d15_sequence_packing",
     # multimodal (meta/frames/resize/features in 2 merged rows) +
     # pipelines (incl. the p02 capstone solo row) — 4
-    "m01b_meta_frames",
+    # (m01b rotates out r2+r3-certified; m03b keeps the multimodal family
+    # represented; b32 certifies the stream -> exactly-once connector sink
+    # -> scan-back loop, the last pytest-only major component)
+    "b32_stream_connector_sink",
     "m03b_resize_features",
     "p03_corpus_report",
     "p02_full_curation",
