@@ -206,6 +206,7 @@ def _assert_events_parity(spark, sf_dir, name):
         "b29_stream_windowed_counts",
         "b30_stream_dedup",
         "b31_stream_sessions",
+        "b32_stream_connector_sink",
     ],
 )
 def test_edge_events_parity(spark, edge_events_dir, name):
@@ -352,7 +353,8 @@ def _relational_names():
         for n in FULL_SUITE
         if (n.startswith("b") or n.startswith("t"))
         and not any(
-            x in n for x in ("b24", "b26", "b27", "b28", "b29", "b30", "b31")
+            x in n
+            for x in ("b24", "b26", "b27", "b28", "b29", "b30", "b31", "b32")
         )
     ]
 
