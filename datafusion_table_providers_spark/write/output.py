@@ -170,6 +170,17 @@ def compact_dataset(
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
 
+    # Hive-partitioned layouts (key=value dirs) would be silently FLATTENED
+    # by this rewrite — Spark infers the partition columns on read, and the
+    # plain write below folds them back into the files, changing the layout
+    # downstream readers prune on. Refuse rather than degrade; compact each
+    # partition directory individually instead.
+    for entry in os.listdir(base):
+        if "=" in entry and os.path.isdir(os.path.join(base, entry)):
+            raise ValueError(
+                f"compact_dataset: {base} is hive-partitioned ({entry}/); "
+                "compact each partition directory separately"
+            )
     before = glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True)
     total = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total / target_file_bytes))

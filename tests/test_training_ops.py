@@ -462,3 +462,18 @@ def test_compact_dataset_recovers_mid_swap_crash(spark, tmp_path):
     assert not os.path.exists(path + "__compacted_old")
     assert not os.path.exists(path + "__compacting")
     shutil.rmtree(path)
+
+
+def test_compact_dataset_refuses_hive_partitioned(spark, tmp_path):
+    import pytest as _pytest
+
+    from datafusion_table_providers_spark.write.output import compact_dataset
+
+    path = str(tmp_path / "hive")
+    spark.range(0, 100).withColumn("p", F.col("id") % 2).write.partitionBy(
+        "p"
+    ).parquet(path)
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        compact_dataset(spark, path)
+    # dataset untouched
+    assert spark.read.parquet(path).count() == 100
