@@ -112,6 +112,12 @@ class TableHandle:
     name: str
     backend: Optional[Backend]  # None → Spark-native (parquet/df)
     remote_relation: str  # SQL relation text on the backend ("tbl" or subquery)
+    # registration-time scan shape, carried so derived scans (reduced_view)
+    # keep the original parallel-read layout instead of collapsing to one
+    # partition:
+    partition_column: Optional[str] = None
+    num_partitions: int = 1
+    columns: Optional[list] = None
 
 
 class Engine:
@@ -155,7 +161,12 @@ class Engine:
             backend, relation, partition_column, num_partitions, columns
         )
         df.createOrReplaceTempView(name)
-        self._tables[name] = TableHandle(name, backend, relation)
+        self._tables[name] = TableHandle(
+            name, backend, relation,
+            partition_column=partition_column,
+            num_partitions=num_partitions,
+            columns=columns,
+        )
         return df
 
     def reduced_view(
@@ -177,9 +188,19 @@ class Engine:
         the reduced view fetch only potentially-matching fact rows from
         the remote engine — the dynamic-filter pushdown Spark's own
         runtime filters cannot deliver across the Python DataSource
-        boundary. The clause is a superset filter: the Spark-side join
-        remains the truth, so substituting the reduced view for the
-        original in a join is always safe.
+        boundary.
+
+        The clause is a superset filter — the Spark-side join remains the
+        truth — **provided ``dim_df`` is deterministic**: the clause is
+        frozen from a driver-side collect here, while the join above the
+        reduced view re-evaluates ``dim_df`` at action time. A dim whose
+        keys can differ between those two evaluations (``sample()`` /
+        ``rand()``-derived filters, a remote table mutating underneath)
+        can produce join keys the frozen clause already dropped remotely.
+        Freeze such dims first (``dim_df = dim_df.localCheckpoint()``) and
+        join against the SAME frozen reference. The original scan shape
+        (partition column/count, projected columns) is carried over from
+        registration so the reduced scan keeps its parallel reads.
         """
         from datafusion_table_providers_spark.sources.dynamic_filter import (
             IN_LIST_MAX,
@@ -199,8 +220,12 @@ class Engine:
         )
         extra = [clause] if clause is not None else []
         df = self._connector_df(
-            backend, handle.remote_relation, None, 1,
-            columns=columns, extra_where=extra,
+            backend,
+            handle.remote_relation,
+            handle.partition_column,
+            handle.num_partitions,
+            columns=columns if columns is not None else handle.columns,
+            extra_where=extra,
         )
         df.createOrReplaceTempView(view_name or f"{name}_reduced")
         return df

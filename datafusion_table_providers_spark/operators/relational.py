@@ -1187,7 +1187,14 @@ def b32_stream_connector_sink(spark, sf_dir):
     app = spark.sparkContext.applicationId
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     base = os.path.join(tempfile.gettempdir(), f"engine_b32_{tag}_{app}")
-    for leftover in (base + ".duckdb", base + "_ckpt"):
+    # A crashed prior run can orphan a WAL / tmp next to the database;
+    # DuckDB would replay the stale WAL into the fresh file — sweep them.
+    for leftover in (
+        base + ".duckdb",
+        base + ".duckdb.wal",
+        base + ".duckdb.tmp",
+        base + "_ckpt",
+    ):
         if os.path.isdir(leftover):
             shutil.rmtree(leftover)
         elif os.path.exists(leftover):

@@ -29,6 +29,12 @@ join would drop anyway), so correctness never depends on it: the Spark-side
 join above the scan remains the truth — the same Inexact contract as the
 limit/sort pushdown (reference mod.rs:505-607 keeps the local operator for
 the same reason).
+
+Superset caveat: the clause is frozen from a driver-side collect, while the
+join re-evaluates the dim at action time. The contract therefore requires a
+DETERMINISTIC dim between the two evaluations — callers with ``sample()`` /
+``rand()``-derived or time-varying dims must ``localCheckpoint()`` first
+and join against the same frozen reference (see ``Engine.reduced_view``).
 """
 
 from __future__ import annotations
@@ -68,7 +74,21 @@ def runtime_filter_clause(
     with a NULL key is dropped remotely by ``IN``/range semantics exactly
     as the join would drop it.
     """
+    from pyspark.sql import types as T
+
     q = dialect.quote_ident(fact_column or dim_key)
+    dtype = dim_df.schema[dim_key].dataType
+    if isinstance(dtype, T.TimestampType):
+        # TimestampType values collect as naive datetimes rendered in the
+        # SESSION timezone; the remote storage convention this engine writes
+        # (and the reference reads) is UTC-naive. Under a non-UTC session a
+        # rendered literal would be shifted, dropping matching fact rows —
+        # decline unless the session is pinned to UTC, mirroring the
+        # string-collation bailout below. TimestampNTZType is naive on both
+        # sides and needs no gate.
+        tz = dim_df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            return None, "none"
     keys = dim_df.select(dim_key).where(F.col(dim_key).isNotNull()).distinct()
     sample = [r[0] for r in keys.limit(in_list_max + 1).collect()]
     if not sample:
@@ -85,9 +105,6 @@ def runtime_filter_clause(
     if len(sample) <= in_list_max:
         lits = ", ".join(dialect.literal(v) for v in sorted(sample))
         return f"{q} IN ({lits})", "in_list"
-    from pyspark.sql import types as T
-
-    dtype = dim_df.schema[dim_key].dataType
     ordered_ok = isinstance(
         dtype,
         (

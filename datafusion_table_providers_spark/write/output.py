@@ -190,7 +190,11 @@ def compact_dataset(
         out = df.repartitionByRange(
             n_out, *[df[c] for c in cluster_by]
         ).sortWithinPartitions(*cluster_by)
-    elif n_out < df.rdd.getNumPartitions():
+    elif n_out < len(before):
+        # One input file ≈ one scan partition for the small files this
+        # rewrites; the file count (already in hand) decides coalesce vs
+        # repartition without touching df.rdd, which forces a legacy-plan
+        # conversion and breaks under Spark Connect.
         out = df.coalesce(n_out)  # narrow merge, no shuffle
     else:
         out = df.repartition(n_out)

@@ -50,6 +50,17 @@ from datafusion_table_providers_spark.write.constraints import (
 from datafusion_table_providers_spark.write.on_conflict import OnConflict
 
 
+def _num_partitions(df: DataFrame) -> int:
+    """Planned partition count used only to pick a transport (arrow/loop vs
+    spool/staged). ``df.rdd`` is unavailable under Spark Connect — there,
+    fall back to the session's shuffle parallelism, which errs toward the
+    distributed transport (the safe direction for an unknown-size input)."""
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def create_table(
     backend: Backend,
     table: str,
@@ -121,7 +132,7 @@ def insert_into(
         if via == "auto":
             via = (
                 "spool"
-                if df.rdd.getNumPartitions() > 8
+                if _num_partitions(df) > 8
                 and _spool_safe(df.schema)
                 and (spool_dir is not None or local)
                 else "arrow"
@@ -151,7 +162,7 @@ def insert_into(
         if via in ("auto", "arrow", "spool"):
             via = (
                 "staged"
-                if df.rdd.getNumPartitions() > 8
+                if _num_partitions(df) > 8
                 and backend.path != ":memory:"
                 and local
                 else "loop"

@@ -289,3 +289,72 @@ def test_inf_past_the_sample_cap_disables_range(spark):
     assert runtime_filter_clause(
         dim, "k", DIALECTS["duckdb"], in_list_max=5
     ) == (None, "none")
+
+
+def test_timestamp_keys_decline_under_non_utc_session(spark):
+    # TimestampType literals render in the SESSION timezone; against the
+    # UTC-naive storage convention a non-UTC session would emit shifted
+    # clauses that drop matching fact rows — the ladder must decline.
+    import datetime as dt
+
+    dim = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 12, 0),)], "k timestamp"
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert runtime_filter_clause(dim, "k", DIALECTS["duckdb"]) == (
+            None,
+            "none",
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        clause, strategy = runtime_filter_clause(
+            dim, "k", DIALECTS["duckdb"]
+        )
+        assert strategy == "in_list"
+        assert "2024-01-01" in clause
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_timestamp_ntz_keys_need_no_utc_gate(spark):
+    # NTZ is naive on both sides — session timezone is irrelevant.
+    import datetime as dt
+
+    dim = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 12, 0),)], "k timestamp_ntz"
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        clause, strategy = runtime_filter_clause(
+            dim, "k", DIALECTS["duckdb"]
+        )
+        assert strategy == "in_list"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_reduced_view_preserves_partitioned_scan(spark, tmp_path):
+    # A table registered with a partition column must keep its parallel
+    # read layout when re-registered as a reduced view.
+    import duckdb as _duckdb
+
+    from datafusion_table_providers_spark.engine import Engine
+    from datafusion_table_providers_spark.sources.backends import DuckDBBackend
+
+    path = str(tmp_path / "pfacts.duckdb")
+    con = _duckdb.connect(path)
+    con.execute(
+        "CREATE TABLE fact AS SELECT i AS k, i * 10 AS v FROM range(1000) t(i)"
+    )
+    con.close()
+    eng = Engine(spark)
+    eng.register_backend_table(
+        "fact", DuckDBBackend(path), partition_column="k", num_partitions=4
+    )
+    dim = spark.createDataFrame([(i,) for i in range(200, 220)], "k int")
+    reduced = eng.reduced_view("fact", "k", dim)
+    assert reduced.count() == 20
+    # the reduced scan keeps the registration's 4-way partitioned read
+    assert reduced.rdd.getNumPartitions() == 4
