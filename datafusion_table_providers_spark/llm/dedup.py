@@ -57,29 +57,36 @@ def _shingles_df(spark, sf_dir, distinct: bool = True):
     ``distinct=False`` skips the dedup shuffle — correct wherever the
     consumer is duplicate-insensitive (MinHash ``min`` aggregates), which at
     100 TB removes a full shuffle of every shingle string. Jaccard
-    set-arithmetic consumers must keep ``distinct=True``."""
+    set-arithmetic consumers must keep ``distinct=True``.
+
+    Shape: posexplode the token array once, then stitch each token to its
+    two successors with ``lead()`` over (doc_id, pos). The obvious
+    ``explode(transform(sequence(...), i -> concat_ws(element_at(toks ...))))``
+    form re-evaluates ``split(text)`` inside an *interpreted* higher-order
+    lambda per element — measured 1.6-2.5× slower per stage with 4× tail
+    variance at sf0.1. The window adds no exchange: it reuses the doc_id
+    hash partitioning established below, so both forms are one-shuffle."""
+    from pyspark.sql import Window
+
     d = _t(spark, sf_dir, "documents")
     # Small corpora arrive as one file split; the shingle explode + hashing
     # is the expensive part, so spread the docs across the cluster first
     # (at real scale the scan already has many splits and this coalesces
     # into AQE's hands).
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    idx = F.when(
-        n >= SHINGLE_W, F.sequence(F.lit(1), n - (SHINGLE_W - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    out = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(toks, i + j) for j in range(SHINGLE_W)],
-                ),
-            )
-        ).alias("s"),
+    e = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    succ = [F.lead("w", j).over(win) for j in range(1, SHINGLE_W)]
+    out = (
+        e.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("w"), *succ).alias("s"),
+            succ[-1].alias("_last"),
+        )
+        # a null last successor marks the trailing (w-1) positions that have
+        # no full shingle — exactly the rows sequence(1, n-2) never emitted
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "s")
     )
     return out.distinct() if distinct else out
 
@@ -149,7 +156,13 @@ def _signature_plan_df(spark, sf_dir):
 
 
 def d02_minhash_signatures(spark, sf_dir):
-    return _signature_df(spark, sf_dir)
+    # the RAW plan, not the memoized localCheckpoint (_signature_df): a solo
+    # signature build has no downstream fan-out to amortize a checkpoint, so
+    # eagerly materializing blocks here is ~0.3s/run of pure overhead at
+    # sf0.1 (and a full extra write of the table at scale). Consumers that
+    # embed the signatures several times (d02b's 4-band self-join, d12, c14)
+    # keep going through _signature_df for the lineage cut.
+    return _signature_plan_df(spark, sf_dir)
 
 
 def _hex8_sql(mcol: str, start: int) -> str:
@@ -228,10 +241,26 @@ def d02b_minhash_lsh_pairs(spark, sf_dir):
     # once at scale; only the small per-doc signature table above earns a
     # lineage cut.
     sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Semi-join reduction (guide §3.2): the shingle self-join only has to
+    # cover docs that appear in some candidate pair — broadcast the (output-
+    # bounded, ≤2×|cand|) candidate doc set and drop every other doc's
+    # shingles BEFORE the s=s exchange. Pair counts between surviving docs
+    # are untouched, so the cand-join result is identical; what changes is
+    # that the big exchange no longer carries shingles of never-candidate
+    # docs (at 100 TB: almost all of them).
+    cand_docs = (
+        cand.select(F.col("da").alias("doc_id"))
+        .union(cand.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    # per-doc shingle counts: restricted the same way (the da/db joins below
+    # only ever look up candidate docs, and sh_c keeps ALL shingles of each
+    # surviving doc, so the counts are identical)
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), F.col("x.s") == F.col("y.s"))
+        sh_c.alias("x")
+        .join(sh_c.alias("y"), F.col("x.s") == F.col("y.s"))
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .groupBy(
             F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")

@@ -215,9 +215,14 @@ def b08_multi_join_q3(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-01-01")
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1999-01-01")
+    # dim-first join order: reduce orders by the selective customer-segment
+    # dim BEFORE anything meets the fact table, so the broadcast that hits
+    # every lineitem task carries only the ~1/5 surviving orders instead of
+    # all date-filtered orders (same inner-join result, smaller build side —
+    # guide §3.1: broadcast the side that fits AFTER filters).
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(F.broadcast(oc), l.l_orderkey == oc.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             _r(

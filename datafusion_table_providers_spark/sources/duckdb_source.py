@@ -26,6 +26,7 @@ Arrow batches without driver involvement.
 from __future__ import annotations
 
 import json
+import os
 from typing import Iterator, List, Optional
 
 import pyarrow as pa
@@ -59,6 +60,17 @@ _WORKER_CON_CACHE: dict = {}
 _WORKER_CON_CACHE_MAX = 8
 
 
+#: Default DuckDB thread count for EXECUTOR-side scan connections when the
+#: backend sets none. Spark supplies the parallelism (one task per range
+#: slice / partition); DuckDB's own default is ALL hardware cores, so N
+#: concurrent scan tasks would spawn N×cores native threads and thrash —
+#: measured 0.89s → 0.73s steady (and 2.7s tail → 0.78s) on the 8-slice
+#: partitioned scan at sf0.1/local[32]. Same discipline as any per-task
+#: native library on a shared executor. Backend ``settings={"threads": ...}``
+#: overrides; so does this env knob for site tuning.
+_TASK_THREADS = os.environ.get("SPARK_GRAFT_DUCKDB_TASK_THREADS", "2")
+
+
 def _worker_connect(opts):
     """Open (or reuse) a per-task DuckDB connection — read-only for file
     DBs so many executor processes can scan concurrently — and materialize
@@ -81,7 +93,9 @@ def _worker_connect(opts):
         con = duckdb.connect()
     else:
         con = duckdb.connect(path, read_only=True)
-    for k, v in json.loads(opts.get("settings", "{}")).items():
+    settings = json.loads(opts.get("settings", "{}"))
+    settings.setdefault("threads", _TASK_THREADS)
+    for k, v in settings.items():
         con.execute(f"SET {k} = '{v}'")
     for db in json.loads(opts.get("attach", "[]")):
         con.execute(f"ATTACH '{db}' (READ_ONLY)")
@@ -365,5 +379,22 @@ def duckdb_reader_df(
         hint_broadcast = table_row_count(backend, relation) <= AUTO_BROADCAST_ROWS
         if backend.path != ":memory:":
             backend.close()  # release the RW lock the count took
-    df = spark.read.format("duckdb_engine").options(**opts).load()
+    reader = spark.read.format("duckdb_engine").options(**opts)
+    if backend.path == ":memory:":
+        # Resolve the schema with ONE in-process LIMIT-0 probe instead of
+        # letting Spark spawn a Python plan worker to call
+        # DataSource.schema() — saves ~0.15s of driver latency per reader
+        # build (measured sf0.1). Only for :memory: parquet-view configs:
+        # probing a FILE database here would take the RW lock driver-side;
+        # those keep the plan-worker path, which connects read-only.
+        proj = (
+            ", ".join(backend.dialect.quote_ident(c) for c in columns)
+            if columns
+            else "*"
+        )
+        arrow_schema = backend.query_arrow(
+            f"SELECT {proj} FROM {relation} LIMIT 0"
+        ).schema
+        reader = reader.schema(arrow_to_spark_schema(_target_schema(arrow_schema)))
+    df = reader.load()
     return df.hint("broadcast") if hint_broadcast else df
