@@ -280,16 +280,25 @@ PARA_W = 8  # words per fragment window
 
 
 def d25_paragraph_dedup(spark, sf_dir):
+    # 8-token windows via posexplode + lead() (see dedup._shingles_df for
+    # why the transform/slice(split(text)) form — interpreted, re-splitting
+    # per element — is avoided); trailing tokens without a full window are
+    # dropped by the null last-successor filter, matching sequence(1, n-7).
     d = _t(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n = F.size(words)
-    idx = F.when(
-        n >= PARA_W, F.sequence(F.lit(1), n - (PARA_W - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    frags = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i, PARA_W))
+    e = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )
-    paras = d.select("doc_id", F.explode(frags).alias("p"))
+    lw = Window.partitionBy("doc_id").orderBy("pos")
+    succ = [F.lead("w", j).over(lw) for j in range(1, PARA_W)]
+    paras = (
+        e.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("w"), *succ).alias("p"),
+            succ[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "p")
+    )
     return (
         paras.groupBy(F.md5("p").alias("para_hash"))
         .agg(
@@ -364,15 +373,29 @@ CHUNK_W = 2
 
 
 def d31_intradoc_dedup(spark, sf_dir):
+    # Disjoint 2-token chunks via posexplode + lead() (see _shingles_df —
+    # the old transform/slice(split(text)) form re-split the text per chunk,
+    # interpreted): chunk i starts at token pos 2i, its second token is
+    # lead(w, 1); a trailing odd token yields a 1-token chunk exactly as
+    # slice() did (concat_ws skips the null successor). lead is computed
+    # over ALL positions, THEN even positions are kept.
     d = _t(spark, sf_dir, "documents")
-    chunks = d.select(
-        "doc_id",
-        F.inline(
-            F.expr(
-                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {CHUNK_W}.0) as int) - 1), "
-                f"i -> struct(i as cidx, array_join(slice(split(text, ' '), i * {CHUNK_W} + 1, {CHUNK_W}), ' ') as ctext))"
-            )
-        ),
+    e = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    lw = Window.partitionBy("doc_id").orderBy("pos")
+    chunks = (
+        e.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("w"), F.lead("w", 1).over(lw)).alias(
+                "ctext"
+            ),
+        )
+        .filter(F.col("pos") % CHUNK_W == 0)
+        .select(
+            "doc_id", (F.col("pos") / CHUNK_W).cast("int").alias("cidx"), "ctext"
+        )
     )
     k = chunks.withColumn(
         "first_idx", F.min("cidx").over(Window.partitionBy("doc_id", "ctext"))

@@ -234,6 +234,11 @@ def d02b_minhash_lsh_pairs(spark, sf_dir):
             F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
         )
         .distinct()
+        # output-bounded (LSH bucket collisions only) and referenced three
+        # times below (cand_docs twice via the union, the final join once) —
+        # cut the band-join lineage once instead of re-executing it per
+        # reference
+        .localCheckpoint(eager=True)
     )
     # exact verification on candidates only. The shingle table is NOT
     # checkpointed: it is ~10× corpus size, so re-deriving it per consumer

@@ -206,24 +206,27 @@ WINNOW_W = 5  # window of consecutive k-gram hashes
 
 
 def d10_fingerprint(spark, sf_dir):
+    # k-grams via posexplode + lead() (same rewrite as dedup._shingles_df:
+    # the transform/element_at higher-order form evaluates interpreted and
+    # re-derives split(text) per element). Token position IS the k-gram
+    # position — the trailing w-1 tokens with no full k-gram are filtered,
+    # leaving pos = 0..n-k contiguous, identical to the old explode index —
+    # and the winnowing min-window below reuses the same (doc_id, pos) sort.
     d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    idx = F.when(
-        n >= WINNOW_K, F.sequence(F.lit(1), n - (WINNOW_K - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    kgrams = d.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(WINNOW_K)]
-                ),
-            )
-        ).alias("pos", "kgram"),
-    ).select(
-        "doc_id", "pos", F.substring(F.md5("kgram"), 1, 8).alias("h")
+    e = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    lw = Window.partitionBy("doc_id").orderBy("pos")
+    succ = [F.lead("w", j).over(lw) for j in range(1, WINNOW_K)]
+    kgrams = (
+        e.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("w"), *succ).alias("kgram"),
+            succ[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "pos", F.substring(F.md5("kgram"), 1, 8).alias("h"))
     )
     w = (
         Window.partitionBy("doc_id")
@@ -278,27 +281,51 @@ FROM fps GROUP BY doc_id
 
 
 def d19_repetition(spark, sf_dir):
+    # 1/2/3-grams from ONE posexplode + lead() pass (see d10/_shingles_df
+    # for why the transform/element_at form is avoided): every token emits
+    # its unigram plus — when enough successors exist — its bigram and
+    # trigram, reproducing the old sequence(1, n-k+1) bounds exactly.
     d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-
-    def garr(k):
-        idx = F.when(
-            n >= k, F.sequence(F.lit(1), n - (k - 1))
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            idx,
-            lambda i: F.struct(
-                F.lit(k).alias("k"),
-                F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(k)]
-                ).alias("g"),
-            ),
+    e = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    lw = Window.partitionBy("doc_id").orderBy("pos")
+    # window expressions may not appear under a Generate — project the
+    # successors first, then explode the per-token gram candidates
+    base = e.select(
+        "doc_id",
+        "w",
+        F.lead("w", 1).over(lw).alias("w1"),
+        F.lead("w", 2).over(lw).alias("w2"),
+    )
+    ex = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("k"),
+                        F.col("w").alias("g"),
+                        F.lit(True).alias("ok"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("k"),
+                        F.concat_ws(" ", F.col("w"), F.col("w1")).alias("g"),
+                        F.col("w1").isNotNull().alias("ok"),
+                    ),
+                    F.struct(
+                        F.lit(3).alias("k"),
+                        F.concat_ws(
+                            " ", F.col("w"), F.col("w1"), F.col("w2")
+                        ).alias("g"),
+                        F.col("w2").isNotNull().alias("ok"),
+                    ),
+                )
+            ).alias("kg"),
         )
-
-    ex = d.select(
-        "doc_id", F.explode(F.concat(garr(1), garr(2), garr(3))).alias("kg")
-    ).select("doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+        .filter(F.col("kg.ok"))
+        .select("doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+    )
     counts = ex.groupBy("doc_id", "k", "g").agg(F.count("*").alias("c"))
     w = Window.partitionBy("doc_id", "k").orderBy(F.desc("c"), F.asc("g"))
     ranked = counts.withColumn("rn", F.row_number().over(w))

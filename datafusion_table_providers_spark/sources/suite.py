@@ -658,18 +658,23 @@ def c14_signature_store_dedup(spark, sf_dir):
     backend.close()  # release RW lock → executors open read-only
 
     stored_r = duckdb_reader_df(spark, backend, "sig_store")
-    hits = None
-    for b in range(N_BANDS):
-        nb = new.select(
-            F.col("doc_id").alias("new_doc"), F.col(f"band{b}").alias("bk")
-        )
-        sb = stored_r.select(
-            F.col("doc_id").alias("stored_doc"), F.col(f"band{b}").alias("bk")
-        )
-        h = nb.join(sb, "bk").select("new_doc", "stored_doc")
-        hits = h if hits is None else hits.unionByName(h)
-    return hits.groupBy("new_doc", "stored_doc").agg(
-        F.count("*").alias("n_bands")
+    # ONE scan of the store, unpivoted to (doc, band, key), instead of a
+    # 4-way union of per-band joins: the union form planned FOUR separate
+    # connector BatchScans (Spark does not dedupe common Python-DS subplans)
+    # — 4× the store fetch for identical semantics. A (band, key) match here
+    # is exactly a band-b key equality there, so n_bands counts are
+    # unchanged (guide §2.4: share one pass where the keys allow it).
+    bands = [f"band{b}" for b in range(N_BANDS)]
+    nb = new.unpivot(["doc_id"], bands, "band", "bk").select(
+        F.col("doc_id").alias("new_doc"), "band", "bk"
+    )
+    sb = stored_r.unpivot(["doc_id"], bands, "band", "bk").select(
+        F.col("doc_id").alias("stored_doc"), "band", "bk"
+    )
+    return (
+        nb.join(sb, ["band", "bk"])
+        .groupBy("new_doc", "stored_doc")
+        .agg(F.count("*").alias("n_bands"))
     )
 
 
