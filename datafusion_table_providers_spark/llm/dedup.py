@@ -462,13 +462,19 @@ def d04_ngram_jaccard(spark, sf_dir):
     # see d02b: the shingle explosion is recomputed per consumer, never
     # materialized — 10× corpus on executor disk is the wrong trade
     sh = _shingles_df(spark, sf_dir)
-    rare = (
+    # drop ultra-common shingles via ANTI-join against the COMMON set: the
+    # common side (df > cap) is tiny and bounded at any corpus size, while
+    # the old inner-join-with-broadcast(rare) shipped nearly the whole
+    # distinct-shingle vocabulary to every executor — a broadcast that
+    # grows with the corpus (guide §3.1: broadcast the side that stays
+    # small). Surviving rows are identical.
+    common = (
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= FREQ_CAP)
+        .filter(F.col("df") > FREQ_CAP)
         .select("s")
     )
-    sh_r = sh.join(F.broadcast(rare), "s")
+    sh_r = sh.join(F.broadcast(common), "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh_r.alias("x")
@@ -551,9 +557,12 @@ def d12_dedup_components(spark, sf_dir):
     edges = pairs.union(
         pairs.select(F.col("db").alias("da"), F.col("da").alias("db"))
     ).select(F.col("da").alias("src"), F.col("db").alias("dst"))
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .select("node", F.col("node").alias("lbl"))
+    # round 0 fused into the seed: with initial lbl(x) = x, the first
+    # propagation round computes exactly least(node, min(neighbor)) — so
+    # seed with that directly and save one full join+checkpoint+count round
+    # (edges are bidirectional, so groupBy(src) covers every node)
+    labels = edges.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.col("node"), F.min("dst")).alias("lbl")
     )
     changed = None
     for _ in range(20):  # min-label propagation needs ≤ diameter rounds
@@ -728,13 +737,17 @@ def _d22_prefixed(spark, sf_dir):
 
 def d22_editdist_neardup(spark, sf_dir):
     p = _d22_prefixed(spark, sf_dir)
-    ok = (
+    # block-cap via ANTI-join against the (tiny, pathological-only) set of
+    # over-cap blocks instead of broadcasting every surviving block key —
+    # the survivor set grows with the corpus, the dropped set does not
+    # (same inversion as d04's frequency cap; identical surviving rows)
+    bad = (
         p.groupBy("bk")
         .agg(F.count("*").alias("bn"))
-        .filter(F.col("bn") <= D22_BLOCK_CAP)
+        .filter(F.col("bn") > D22_BLOCK_CAP)
         .select("bk")
     )
-    p = p.join(F.broadcast(ok), "bk")
+    p = p.join(F.broadcast(bad), "bk", "left_anti")
     a = p.select(
         F.col("bk"), F.col("doc_id").alias("da"), F.col("pfx").alias("pa")
     )
