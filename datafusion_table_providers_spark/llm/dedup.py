@@ -398,31 +398,44 @@ HAMMING_MAX = 3
 
 
 def d03b_simhash_pairs(spark, sf_dir):
-    # lineage cut before the 4-way band union self-join (see d02b)
+    # lineage cut before the band self-join (see d02b)
     sig = d03_simhash(spark, sf_dir).localCheckpoint(eager=True)
+    # ONE self-join on the unpivoted (band, byte) key instead of a 4-way
+    # union of per-byte-band joins: the union form exchanged the signature
+    # table 8× (both sides × 4 bands) and planned 4 join stages for the
+    # same pair set — a pair collides on SOME band either way, and the
+    # DISTINCT below collapses multi-band collisions identically (same
+    # single-pass rewrite as the c14 signature store; guide §2.4).
     banded = sig.select(
         "doc_id",
         "simhash",
-        *[
-            (F.shiftright(F.col("simhash"), 8 * i) % 256).alias(f"byte{i}")
-            for i in range(4)
-        ],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (F.shiftright(F.col("simhash"), 8 * i) % 256).alias(
+                            "byte"
+                        ),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.byte") == F.col("b.byte"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.col("a.simhash").alias("ha"),
+        F.col("b.simhash").alias("hb"),
     )
-    pairs = None
-    for i in range(4):
-        a = banded.alias("a")
-        b = banded.alias("b")
-        p = a.join(
-            b,
-            (F.col(f"a.byte{i}") == F.col(f"b.byte{i}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        pairs = p if pairs is None else pairs.union(p)
     return (
         pairs.distinct()
         .select(
