@@ -97,6 +97,9 @@ def main():
 
     for name in BENCH_QUERIES:
         case = FULL_SUITE[name]
+        # label the jobs so the Spark UI / event log maps stages to queries
+        # (guide §1.5); no effect on the timed work
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         per_run = []
         for _ in range(3):
             # session memoization (signatures/labels/PQ artifacts) is a real
@@ -110,6 +113,7 @@ def main():
             per_run.append(round(time.time() - t0, 3))
         cold[name] = per_run[0]
         timings[name] = min(per_run)
+        spark.sparkContext.setJobDescription(None)
         print(f"# {name}: {timings[name]}s (cold {per_run[0]}s, {n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -209,6 +209,12 @@ SELECT doc_id, {bands} FROM sig
 
 
 # --- d02b: LSH candidate pairs + exact-Jaccard verification ---------------
+#: skip the candidate semi-join reduction when candidate docs exceed this
+#: fraction of the corpus — filtering that drops almost nothing only adds
+#: a broadcast + probe to the big exchange (see the adaptive branch below)
+SEMIJOIN_MAX_FRACTION = 0.5
+
+
 def d02b_minhash_lsh_pairs(spark, sf_dir):
     # the signature table arrives already checkpointed (and memoized) from
     # _signature_df — the lineage cut that keeps the 4-band union self-join
@@ -258,10 +264,21 @@ def d02b_minhash_lsh_pairs(spark, sf_dir):
         .union(cand.select(F.col("db").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
-    # per-doc shingle counts: restricted the same way (the da/db joins below
-    # only ever look up candidate docs, and sh_c keeps ALL shingles of each
-    # surviving doc, so the counts are identical)
+    # ADAPTIVE: the reduction wins when duplicate-suspect docs are sparse
+    # (the realistic regime) but costs ~20% when nearly every doc is a
+    # candidate — measured on the sf1 synth, which replicates all content
+    # 10× so candidates ≈ everything. Both counts are cheap (cand is
+    # checkpointed; the doc count is a parquet-statistics job), and both
+    # branches are result-identical, so this is the guide-§3.2 "pre-filters
+    # are not always on" decision made from the actual candidate fraction.
+    n_docs = _t(spark, sf_dir, "documents").count()
+    if cand_docs.count() < SEMIJOIN_MAX_FRACTION * n_docs:
+        sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    else:
+        sh_c = sh
+    # per-doc shingle counts from the (possibly) restricted table: the
+    # da/db joins below only ever look up candidate docs, and sh_c keeps
+    # ALL shingles of each surviving doc, so the counts are identical
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh_c.alias("x")
