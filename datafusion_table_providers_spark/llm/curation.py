@@ -47,23 +47,18 @@ DECON_N = 4  # tokens per n-gram (4-grams: strict enough to be rare, loose
 
 
 def d13_decontaminate(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    idx = F.when(
-        n >= DECON_N, F.sequence(F.lit(1), n - (DECON_N - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(DECON_N)]
-                ),
-            )
-        ).alias("gram"),
-    )
+    # 4-grams via the shared posexplode+lead builder (dedup._shingles_df):
+    # the old transform(sequence, i -> ...element_at(split(text))) form
+    # evaluated an *interpreted* higher-order lambda per gram, re-deriving
+    # split(text) per element — the same §4 interpreted→codegen rewrite
+    # applied to d02/d10/d19/d25/d31 in round 21 (measured 55.5s → see
+    # OPTIMIZATION_r22.md at the synthetic sf1). Gram set identical: the
+    # null-last-successor filter reproduces sequence(1, n - DECON_N + 1).
+    from datafusion_table_providers_spark.llm.dedup import _shingles_df
+
+    grams = _shingles_df(
+        spark, sf_dir, distinct=False, width=DECON_N
+    ).withColumnRenamed("s", "gram")
     is_eval = F.col("doc_id") % DECON_MOD == 0
     eval_grams = (
         grams.where(is_eval).select("gram").distinct()

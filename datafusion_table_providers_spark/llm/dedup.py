@@ -51,8 +51,10 @@ FROM documents GROUP BY md5(text)
 
 
 # --- shared shingle builders ---------------------------------------------
-def _shingles_df(spark, sf_dir, distinct: bool = True):
-    """Word 3-gram shingles per doc.
+def _shingles_df(spark, sf_dir, distinct: bool = True, width: int = SHINGLE_W):
+    """Word ``width``-gram shingles per doc (default: the 3-gram dedup
+    shingles; d13/p02 reuse the same builder for their 4-gram
+    decontamination pass).
 
     ``distinct=False`` skips the dedup shuffle — correct wherever the
     consumer is duplicate-insensitive (MinHash ``min`` aggregates), which at
@@ -60,7 +62,7 @@ def _shingles_df(spark, sf_dir, distinct: bool = True):
     set-arithmetic consumers must keep ``distinct=True``.
 
     Shape: posexplode the token array once, then stitch each token to its
-    two successors with ``lead()`` over (doc_id, pos). The obvious
+    successors with ``lead()`` over (doc_id, pos). The obvious
     ``explode(transform(sequence(...), i -> concat_ws(element_at(toks ...))))``
     form re-evaluates ``split(text)`` inside an *interpreted* higher-order
     lambda per element — measured 1.6-2.5× slower per stage with 4× tail
@@ -76,15 +78,16 @@ def _shingles_df(spark, sf_dir, distinct: bool = True):
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     e = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
     win = Window.partitionBy("doc_id").orderBy("pos")
-    succ = [F.lead("w", j).over(win) for j in range(1, SHINGLE_W)]
+    succ = [F.lead("w", j).over(win) for j in range(1, width)]
     out = (
         e.select(
             "doc_id",
             F.concat_ws(" ", F.col("w"), *succ).alias("s"),
             succ[-1].alias("_last"),
         )
-        # a null last successor marks the trailing (w-1) positions that have
-        # no full shingle — exactly the rows sequence(1, n-2) never emitted
+        # a null last successor marks the trailing (width-1) positions that
+        # have no full shingle — exactly the rows sequence(1, n-width+1)
+        # never emitted
         .filter(F.col("_last").isNotNull())
         .select("doc_id", "s")
     )

@@ -113,23 +113,14 @@ def p02_full_curation(spark, sf_dir):
     deduped = kept.join(dropme, "doc_id", "left_anti")
 
     # decontamination: exclude the eval split itself, then drop any training
-    # doc sharing a DECON_N-gram with it (eval grams broadcast, as in d13)
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    idx = F.when(
-        n >= DECON_N, F.sequence(F.lit(1), n - (DECON_N - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams_all = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(DECON_N)]
-                ),
-            )
-        ).alias("gram"),
-    )
+    # doc sharing a DECON_N-gram with it (eval grams broadcast, as in d13).
+    # Grams come from the shared posexplode+lead builder — the interpreted
+    # transform(sequence, ...) HOF form was the §4 bottleneck (see d13).
+    from datafusion_table_providers_spark.llm.dedup import _shingles_df
+
+    grams_all = _shingles_df(
+        spark, sf_dir, distinct=False, width=DECON_N
+    ).withColumnRenamed("s", "gram")
     eval_grams = (
         grams_all.where(F.col("doc_id") % DECON_MOD == 0)
         .select("gram")
