@@ -21,6 +21,8 @@ hashes; min() over fixed-width lowercase-hex strings == numeric min.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from datafusion_table_providers_spark.core.case import QueryCase
@@ -216,9 +218,34 @@ SELECT doc_id, {bands} FROM sig
 #: fraction of the corpus — filtering that drops almost nothing only adds
 #: a broadcast + probe to the big exchange (see the adaptive branch below)
 SEMIJOIN_MAX_FRACTION = 0.5
+#: absolute cap on the BROADCAST form of the reduction: F.broadcast()
+#: bypasses autoBroadcastJoinThreshold, and a candidate set just under
+#: half of a 100 TB corpus would be billions of doc_ids — far past the
+#: 8 GB / 512M-row broadcast limit. Above this row count (but still under
+#: the fraction gate) the reduction runs as a SHUFFLE semi-join instead:
+#: same surviving rows, no driver/executor-resident hash relation.
+SEMIJOIN_MAX_BROADCAST_ROWS = int(
+    os.environ.get("SPARK_GRAFT_SEMIJOIN_MAX_BROADCAST_ROWS", "20000000")
+)
+
+#: (applicationId, sf_dir) → document row count. The adaptive gate below
+#: needs |corpus| on every d02b build, and d02b is rebuilt by d12/d34/d35/
+#: d37/p01/p02 within one driver run — memoize the parquet-statistics job
+#: per session per corpus (cleared by clear_memo_caches like every memo,
+#: so the bench still pays it once per timed run).
+_DOCN_CACHE: dict = register_cache({})
 
 
-def d02b_minhash_lsh_pairs(spark, sf_dir):
+def _doc_count(spark, sf_dir) -> int:
+    key = memo_key(spark, sf_dir)
+    n = _DOCN_CACHE.get(key)
+    if n is None:
+        n = _t(spark, sf_dir, "documents").count()
+        _DOCN_CACHE[key] = n
+    return n
+
+
+def d02b_minhash_lsh_pairs(spark, sf_dir, shingles=None):
     # the signature table arrives already checkpointed (and memoized) from
     # _signature_df — the lineage cut that keeps the 4-band union self-join
     # from embedding the full hash plan 8x
@@ -249,12 +276,12 @@ def d02b_minhash_lsh_pairs(spark, sf_dir):
         # reference
         .localCheckpoint(eager=True)
     )
-    # exact verification on candidates only. The shingle table is NOT
-    # checkpointed: it is ~10× corpus size, so re-deriving it per consumer
-    # (scan + explode, CPU-cheap) beats writing it to executor-local disk
-    # once at scale; only the small per-doc signature table above earns a
-    # lineage cut.
-    sh = _shingles_df(spark, sf_dir)
+    # exact verification on candidates only. When built standalone the
+    # shingle table is NOT checkpointed (it is ~10× corpus size; re-deriving
+    # it per reference beats writing it to executor-local disk); an ensemble
+    # caller (d35) that feeds SEVERAL shingle consumers passes one shared
+    # checkpointed table via ``shingles`` instead — same rows either way.
+    sh = shingles if shingles is not None else _shingles_df(spark, sf_dir)
     # Semi-join reduction (guide §3.2): the shingle self-join only has to
     # cover docs that appear in some candidate pair — broadcast the (output-
     # bounded, ≤2×|cand|) candidate doc set and drop every other doc's
@@ -271,12 +298,21 @@ def d02b_minhash_lsh_pairs(spark, sf_dir):
     # (the realistic regime) but costs ~20% when nearly every doc is a
     # candidate — measured on the sf1 synth, which replicates all content
     # 10× so candidates ≈ everything. Both counts are cheap (cand is
-    # checkpointed; the doc count is a parquet-statistics job), and both
-    # branches are result-identical, so this is the guide-§3.2 "pre-filters
-    # are not always on" decision made from the actual candidate fraction.
-    n_docs = _t(spark, sf_dir, "documents").count()
-    if cand_docs.count() < SEMIJOIN_MAX_FRACTION * n_docs:
-        sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    # checkpointed; the doc count is a memoized parquet-statistics job),
+    # and all branches are result-identical, so this is the guide-§3.2
+    # "pre-filters are not always on" decision made from the actual
+    # candidate fraction. NOTE the counts make DataFrame CONSTRUCTION
+    # eager: building this plan executes the candidate pipeline even if
+    # the result is never collected — inherent to a data-dependent plan
+    # choice; plan-only tooling should target the branches directly.
+    n_cand = cand_docs.count()
+    if n_cand < SEMIJOIN_MAX_FRACTION * _doc_count(spark, sf_dir):
+        if n_cand <= SEMIJOIN_MAX_BROADCAST_ROWS:
+            sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+        else:
+            # too many candidate ids to hold as a broadcast hash relation —
+            # keep the reduction but let it shuffle (plain semi-join)
+            sh_c = sh.join(cand_docs, "doc_id", "left_semi")
     else:
         sh_c = sh
     # per-doc shingle counts from the (possibly) restricted table: the
@@ -418,16 +454,31 @@ HAMMING_MAX = 3
 
 
 def d03b_simhash_pairs(spark, sf_dir):
+    from pyspark.sql import Window
+
     # lineage cut before the band self-join (see d02b)
     sig = d03_simhash(spark, sf_dir).localCheckpoint(eager=True)
+    # Run the band self-join once per DISTINCT SIMHASH VALUE, not once per
+    # doc: hamming (and hence membership) depends only on the two simhash
+    # values, and a near-dup-heavy corpus collapses many docs onto one
+    # value (exact duplicates always do) — at the 10×-replicated sf1 synth
+    # the band join's pair explosion drops ~100× for the same output.
+    # Shape (same group/expand discipline as d22): group docs by simhash
+    # (window min = group id), band-join the distinct values, hamming-
+    # filter BEFORE fanning back out (only surviving group pairs pay the
+    # expansion joins), then two gid-equi-joins restore doc pairs.
+    # Intra-group pairs are hamming-0 by identity and always survive.
+    m = sig.withColumn(
+        "gid", F.min("doc_id").over(Window.partitionBy("simhash"))
+    )
+    reps = m.where(F.col("doc_id") == F.col("gid")).select(
+        F.col("gid"), F.col("simhash")
+    )
     # ONE self-join on the unpivoted (band, byte) key instead of a 4-way
-    # union of per-byte-band joins: the union form exchanged the signature
-    # table 8× (both sides × 4 bands) and planned 4 join stages for the
-    # same pair set — a pair collides on SOME band either way, and the
-    # DISTINCT below collapses multi-band collisions identically (same
-    # single-pass rewrite as the c14 signature store; guide §2.4).
-    banded = sig.select(
-        "doc_id",
+    # union of per-byte-band joins (r21 rewrite, kept): a pair collides on
+    # SOME band either way and the DISTINCT collapses multi-band collisions.
+    banded = reps.select(
+        "gid",
         "simhash",
         F.explode(
             F.array(
@@ -442,31 +493,72 @@ def d03b_simhash_pairs(spark, sf_dir):
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
+    ).select("gid", "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.byte") == F.col("b.byte"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("da"),
-        F.col("b.doc_id").alias("db"),
-        F.col("a.simhash").alias("ha"),
-        F.col("b.simhash").alias("hb"),
-    )
-    return (
-        pairs.distinct()
+    gpairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
         .select(
-            "da",
-            "db",
-            F.bit_count(
-                F.col("ha").bitwiseXOR(F.col("hb"))
-            ).alias("hamming"),
+            F.col("a.gid").alias("ga"),
+            F.col("b.gid").alias("gb"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+        .select(
+            "ga",
+            "gb",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
+    # m leaves the window hash-partitioned by SIMHASH — i.e. every member
+    # of a big group sits in ONE partition, so the intra fan-out below
+    # (each probe row emits |group| rows) would be produced by a handful
+    # of straggler tasks (measured: d35's expansion stage ran at ~3-way
+    # effective parallelism). Spread the PROBE rows by doc_id first — the
+    # per-row output is then Σ|group| per task, uniform (guide §2.5).
+    m_spread = m.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    ma = m_spread.select(F.col("gid").alias("ga"), F.col("doc_id").alias("xa"))
+    mb = m_spread.select(F.col("gid").alias("gb"), F.col("doc_id").alias("xb"))
+    # The doc→group map is 2 longs/doc; broadcast it into the expansion
+    # joins whenever it fits (memoized count, same cap as d02b's reduction)
+    # so the EXPANDED pair stream — orders of magnitude bigger than its
+    # inputs — is produced map-side and never re-shuffled. Without the
+    # explicit hint the map sits behind a checkpoint (unknown stats) and a
+    # composed plan (d35) falls back to sort-merge, re-exchanging the full
+    # 157M-row intermediate. Past the cap the joins shuffle — correct,
+    # just not broadcast-accelerated (AQE skew-split applies there).
+    small = _doc_count(spark, sf_dir) <= SEMIJOIN_MAX_BROADCAST_ROWS
+    build_a = F.broadcast(ma) if small else ma
+    build_b = F.broadcast(mb) if small else mb
+    cross = (
+        gpairs.join(build_a, "ga")
+        .join(build_b, "gb")
+        .select(
+            F.least("xa", "xb").alias("da"),
+            F.greatest("xa", "xb").alias("db"),
+            "hamming",
+        )
+    )
+    intra = (
+        ma.join(
+            build_b.withColumnRenamed("gb", "ga"),
+            "ga",
+        )
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            F.col("xa").alias("da"),
+            F.col("xb").alias("db"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def _d03b_sql() -> str:
@@ -491,10 +583,10 @@ FREQ_CAP = 50  # drop shingles present in more docs than this (skew guard)
 MIN_SHARED = 2
 
 
-def d04_ngram_jaccard(spark, sf_dir):
-    # see d02b: the shingle explosion is recomputed per consumer, never
-    # materialized — 10× corpus on executor disk is the wrong trade
-    sh = _shingles_df(spark, sf_dir)
+def d04_ngram_jaccard(spark, sf_dir, shingles=None):
+    # see d02b: standalone builds re-derive the shingle explosion per
+    # reference; ensemble callers pass one shared checkpointed table
+    sh = shingles if shingles is not None else _shingles_df(spark, sf_dir)
     # drop ultra-common shingles via ANTI-join against the COMMON set: the
     # common side (df > cap) is tiny and bounded at any corpus size, while
     # the old inner-join-with-broadcast(rare) shipped nearly the whole
@@ -769,6 +861,8 @@ def _d22_prefixed(spark, sf_dir):
 
 
 def d22_editdist_neardup(spark, sf_dir):
+    from pyspark.sql import Window
+
     p = _d22_prefixed(spark, sf_dir)
     # block-cap via ANTI-join against the (tiny, pathological-only) set of
     # over-cap blocks instead of broadcasting every surviving block key —
@@ -781,21 +875,52 @@ def d22_editdist_neardup(spark, sf_dir):
         .select("bk")
     )
     p = p.join(F.broadcast(bad), "bk", "left_anti")
-    a = p.select(
-        F.col("bk"), F.col("doc_id").alias("da"), F.col("pfx").alias("pa")
+    # Run the quadratic Levenshtein DP once per DISTINCT-PREFIX pair, not
+    # once per doc pair: dist(a, b) depends only on (pfx_a, pfx_b), and a
+    # near-dup-heavy corpus (the regime this operator exists for) has many
+    # docs per identical prefix — at the 10×-replicated sf1 synth that is
+    # 100× fewer DP cells for the same output. Shape: group docs by prefix
+    # (window min = group id, one (bk, pfx) shuffle), DP over rep pairs
+    # (ga <= gb covers intra-group pairs, which are dist 0 by identity),
+    # then fan the group-pair verdicts back out to doc pairs with two
+    # gid-equi-joins. Doc-pair set and dist values are provably identical:
+    # prefixes partition docs, every same-block unordered doc pair appears
+    # in exactly one group pair, and least/greatest restores da < db.
+    m = p.withColumn(
+        "gid", F.min("doc_id").over(Window.partitionBy("bk", "pfx"))
     )
-    b = p.select(
-        F.col("bk"), F.col("doc_id").alias("db"), F.col("pfx").alias("pb")
-    )
-    return (
-        a.join(b, "bk")
-        .filter(F.col("da") < F.col("db"))
+    reps = m.where(F.col("doc_id") == F.col("gid")).select("bk", "gid", "pfx")
+    ra = reps.select("bk", F.col("gid").alias("ga"), F.col("pfx").alias("pa"))
+    rb = reps.select("bk", F.col("gid").alias("gb"), F.col("pfx").alias("pb"))
+    rep_pairs = (
+        ra.join(rb, "bk")
+        .filter(F.col("ga") <= F.col("gb"))
         .select(
-            "da",
-            "db",
+            "ga",
+            "gb",
             F.levenshtein(F.col("pa"), F.col("pb"), D22_TAU).alias("dist"),
         )
         .filter(F.col("dist") >= 0)
+    )
+    ma = m.select(F.col("gid").alias("ga"), F.col("doc_id").alias("xa"))
+    mb = m.select(F.col("gid").alias("gb"), F.col("doc_id").alias("xb"))
+    # see d03b: broadcast the 2-long-per-doc group map into the expansion
+    # joins when it fits, so the fanned-out pair stream is produced
+    # map-side instead of being re-exchanged by a sort-merge fallback
+    if _doc_count(spark, sf_dir) <= SEMIJOIN_MAX_BROADCAST_ROWS:
+        ma, mb = F.broadcast(ma), F.broadcast(mb)
+    return (
+        rep_pairs.join(ma, "ga")
+        .join(mb, "gb")
+        # distinct groups: every cross pair is one unordered doc pair;
+        # same group (ga == gb): order the pair explicitly to avoid the
+        # (x,y)/(y,x) double and the x=x self-pair
+        .filter((F.col("ga") < F.col("gb")) | (F.col("xa") < F.col("xb")))
+        .select(
+            F.least("xa", "xb").alias("da"),
+            F.greatest("xa", "xb").alias("db"),
+            "dist",
+        )
     )
 
 
@@ -1034,24 +1159,85 @@ SUITE["d12b_components_keepbest"] = QueryCase(
 # flag it — is a pure composition: union the three certified pair tables
 # with method tags, one groupBy on the pair key. No new shuffle shape;
 # candidate generation stays bucketed in each underlying method.
+#: method → bit tag for the ensemble verdict aggregate. Every member emits
+#: a given (da, db) pair AT MOST ONCE (d02b: distinct candidates inner-
+#: joined to per-pair-unique tables; d03b: disjoint cross/intra sets of
+#: unique pairs; d04: groupBy output), so sum(tag) is a faithful method
+#: SET — the bit mask replaces count(DISTINCT)/collect_set, which planned
+#: as THREE ObjectHashAggregate passes and TWO full exchanges of the
+#: ~158M-row pair union at sf1 (object-mode agg, no codegen). The mask
+#: form is one codegen HashAggregate with map-side partials and ONE
+#: exchange (guide §2.3 aggregate-before-shuffle, §2.4 remove exchanges).
+_D35_TAG = {"minhash": 1, "ngram": 2, "simhash": 4}
+#: mask → the exact string collect_set+array_sort+array_join produced
+_D35_MASK_STR = [
+    ",".join(sorted(m for m, t in _D35_TAG.items() if mask & t))
+    for mask in range(8)
+]
+
+
 def d35_ensemble_neardup(spark, sf_dir):
-    mh = d02b_minhash_lsh_pairs(spark, sf_dir).select(
-        "da", "db", F.lit("minhash").alias("method")
+    # ONE distinct-shingle pass feeds both shingle-set members (minhash's
+    # exact-Jaccard verifier and the n-gram blocker): each references the
+    # shingle lineage 3-5× inside its own plan, so the ensemble would
+    # otherwise re-run the scan+explode+distinct subtree ~8× (guide §2.4:
+    # share one pass; §5: one lineage cut for the shared table). SimHash
+    # blocks on single words, not shingles — it keeps its own pass.
+    shingles = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    mh = d02b_minhash_lsh_pairs(spark, sf_dir, shingles=shingles).select(
+        "da", "db", F.lit(_D35_TAG["minhash"]).alias("tag")
     )
-    sh = d03b_simhash_pairs(spark, sf_dir).select(
-        "da", "db", F.lit("simhash").alias("method")
+    ng = d04_ngram_jaccard(spark, sf_dir, shingles=shingles).select(
+        "da", "db", F.lit(_D35_TAG["ngram"]).alias("tag")
     )
-    ng = d04_ngram_jaccard(spark, sf_dir).select(
-        "da", "db", F.lit("ngram").alias("method")
+    # A pair can only reach >= 2 methods if minhash or ngram flags it —
+    # simhash alone is one method. So aggregate the two SMALL members first
+    # (both are output-bounded: LSH-verified / MIN_SHARED-filtered), then
+    # mark simhash membership by probing d03b's pair stream against that
+    # small pair set. On a near-dup-heavy corpus the simhash member utterly
+    # dominates the union (sf1 synth: ~157.3M of 157.7M rows); aggregating
+    # the union hash-partitioned it twice and spilled the partial aggregate
+    # (32 concurrent tasks × ~157M mostly-unique keys vs a shared-heap
+    # execution pool — measured at ~4-way effective parallelism). The probe
+    # form never exchanges or aggregates the dominant stream at all: a
+    # broadcast LEFT SEMI consumes it map-side (guide §3.2 semi-join
+    # reduction; §2.2 shuffle fewer bytes). Past the broadcast cap the semi
+    # join shuffles both sides — still |small| + one pass over sh, never an
+    # aggregate of sh.
+    small = (
+        mh.unionByName(ng)
+        .groupBy("da", "db")
+        .agg(F.sum("tag").alias("mask_s"))
+        # referenced twice (semi-join probe + final left join): cut the
+        # full minhash+ngram lineage once instead of executing it per
+        # reference
+        .localCheckpoint(eager=True)
     )
-    u = mh.unionByName(sh).unionByName(ng)
-    agg = u.groupBy("da", "db").agg(
-        F.countDistinct("method").alias("n_methods"),
-        F.array_join(F.array_sort(F.collect_set("method")), ",").alias(
-            "methods"
-        ),
+    sh_pairs = d03b_simhash_pairs(spark, sf_dir).select("da", "db")
+    fits = _doc_count(spark, sf_dir) <= SEMIJOIN_MAX_BROADCAST_ROWS
+    probe = small.select("da", "db")
+    hits = sh_pairs.join(
+        F.broadcast(probe) if fits else probe, ["da", "db"], "left_semi"
+    ).select("da", "db", F.lit(_D35_TAG["simhash"]).alias("tag_sh"))
+    # d03b emits every pair at most once (disjoint cross/intra sets of
+    # unique pairs — invariant pinned in tests), so `hits` is per-pair
+    # unique and the left join below adds the simhash bit exactly once.
+    agg = small.join(
+        F.broadcast(hits) if fits else hits, ["da", "db"], "left"
+    ).select(
+        "da",
+        "db",
+        (F.col("mask_s") + F.coalesce("tag_sh", F.lit(0))).alias("mask"),
     )
-    return agg.filter(F.col("n_methods") >= 2)
+    return agg.filter(F.bit_count("mask") >= 2).select(
+        "da",
+        "db",
+        F.bit_count("mask").cast("long").alias("n_methods"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _D35_MASK_STR]),
+            (F.col("mask") + 1).cast("int"),
+        ).alias("methods"),
+    )
 
 
 def _d35_sql() -> str:

@@ -216,13 +216,17 @@ def b08_multi_join_q3(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-01-01")
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1999-01-01")
     # dim-first join order: reduce orders by the selective customer-segment
-    # dim BEFORE anything meets the fact table, so the broadcast that hits
+    # dim BEFORE anything meets the fact table, so the build side that hits
     # every lineitem task carries only the ~1/5 surviving orders instead of
     # all date-filtered orders (same inner-join result, smaller build side —
-    # guide §3.1: broadcast the side that fits AFTER filters).
+    # guide §3.1: broadcast the side that fits AFTER filters). No explicit
+    # broadcast hint on oc: it grows O(|orders|) with scale factor, and the
+    # hint would bypass Spark's size check — let AQE promote it to a
+    # broadcast from measured stats (it does at bench SFs) and fall back to
+    # a shuffle join when it outgrows the threshold at real scale.
     oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     return (
-        l.join(F.broadcast(oc), l.l_orderkey == oc.o_orderkey)
+        l.join(oc, l.l_orderkey == oc.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             _r(

@@ -34,6 +34,16 @@ TUNING = {
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB splits
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # Streaming state lives off-heap in RocksDB instead of the default
+    # in-memory HashMap provider: at 100 TB the stateful operators
+    # (windowed counts, sessionization, stream-stream joins, streaming
+    # dedup) hold state bounded only by the watermark horizon — RocksDB
+    # keeps executor heap flat and spills to local disk. Runtime-mutable,
+    # honored per-query at stream start; identical results (guide §5).
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
 }
 
 

@@ -79,9 +79,22 @@ def _worker_connect(opts):
     import duckdb
 
     path = opts.get("path", ":memory:")
+    settings = json.loads(opts.get("settings", "{}"))
+    # Cap native threads only when the scan is PARTITIONED: N concurrent
+    # slice tasks would otherwise spawn N×cores threads and thrash. A
+    # single-slice scan keeps DuckDB's own default (all cores) — one task
+    # on an otherwise idle executor should not be pinned to 2 threads.
+    # (Resolved BEFORE the cache lookup so partitioned and unpartitioned
+    # scans of the same view config never share a connection whose thread
+    # setting only fits one of them.)
+    if len(json.loads(opts.get("partition_clauses", "[]"))) > 1:
+        settings.setdefault("threads", _TASK_THREADS)
     cacheable = path == ":memory:" and json.loads(opts.get("attach", "[]")) == []
     if cacheable:
-        key = (opts.get("settings", "{}"), opts.get("parquet_tables", "{}"))
+        key = (
+            json.dumps(settings, sort_keys=True),
+            opts.get("parquet_tables", "{}"),
+        )
         con = _WORKER_CON_CACHE.get(key)
         if con is not None:
             try:
@@ -93,8 +106,6 @@ def _worker_connect(opts):
         con = duckdb.connect()
     else:
         con = duckdb.connect(path, read_only=True)
-    settings = json.loads(opts.get("settings", "{}"))
-    settings.setdefault("threads", _TASK_THREADS)
     for k, v in settings.items():
         con.execute(f"SET {k} = '{v}'")
     for db in json.loads(opts.get("attach", "[]")):
@@ -212,6 +223,21 @@ def _target_schema(schema: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
+def _probe_spark_schema(run_limit0, relation, columns):
+    """LIMIT-0 probe → Spark schema: the ONE home of the probe projection
+    and Arrow→Spark normalization, shared by the plan-worker path
+    (``DuckDBDataSource.schema``) and the in-process driver fast path
+    (``duckdb_reader_df``) so the two derivations can never drift.
+    ``run_limit0(sql)`` must return the pyarrow schema of the probe."""
+    dialect = DIALECTS["duckdb"]
+    proj = (
+        ", ".join(dialect.quote_ident(c) for c in columns) if columns else "*"
+    )
+    return arrow_to_spark_schema(
+        _target_schema(run_limit0(f"SELECT {proj} FROM {relation} LIMIT 0"))
+    )
+
+
 class DuckDBDataSource(DataSource):
     """``spark.read.format("duckdb_engine")`` — options:
 
@@ -229,20 +255,15 @@ class DuckDBDataSource(DataSource):
 
     def schema(self):
         con, cached = _worker_connect(self.options)
-        rel = self.options.get("relation")
-        cols = json.loads(self.options.get("columns", "null"))
-        dialect = DIALECTS["duckdb"]
-        proj = (
-            ", ".join(dialect.quote_ident(c) for c in cols) if cols else "*"
-        )
-        arrow_schema = (
-            con.execute(f"SELECT {proj} FROM {rel} LIMIT 0")
-            .fetch_arrow_table()
-            .schema
-        )
-        if not cached:
-            con.close()
-        return arrow_to_spark_schema(_target_schema(arrow_schema))
+        try:
+            return _probe_spark_schema(
+                lambda sql: con.execute(sql).fetch_arrow_table().schema,
+                self.options.get("relation"),
+                json.loads(self.options.get("columns", "null")),
+            )
+        finally:
+            if not cached:
+                con.close()
 
     def reader(self, schema) -> DataSourceReader:
         return DuckDBReader(schema, self.options)
@@ -387,14 +408,10 @@ def duckdb_reader_df(
         # build (measured sf0.1). Only for :memory: parquet-view configs:
         # probing a FILE database here would take the RW lock driver-side;
         # those keep the plan-worker path, which connects read-only.
-        proj = (
-            ", ".join(backend.dialect.quote_ident(c) for c in columns)
-            if columns
-            else "*"
+        reader = reader.schema(
+            _probe_spark_schema(
+                lambda sql: backend.query_arrow(sql).schema, relation, columns
+            )
         )
-        arrow_schema = backend.query_arrow(
-            f"SELECT {proj} FROM {relation} LIMIT 0"
-        ).schema
-        reader = reader.schema(arrow_to_spark_schema(_target_schema(arrow_schema)))
     df = reader.load()
     return df.hint("broadcast") if hint_broadcast else df
