@@ -319,13 +319,32 @@ def d02b_minhash_lsh_pairs(spark, sf_dir, shingles=None):
     # da/db joins below only ever look up candidate docs, and sh_c keeps
     # ALL shingles of each surviving doc, so the counts are identical
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
+    pair_stream = (
         sh_c.alias("x")
         .join(sh_c.alias("y"), F.col("x.s") == F.col("y.s"))
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
+        .select(
             F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
         )
+    )
+    # PAIR-level reduction before the groupBy exchange: only pairs present
+    # in `cand` survive the final inner join, so drop the rest of the
+    # shared-shingle pair stream map-side with a broadcast LEFT SEMI
+    # against the (checkpointed, output-bounded) candidate table — the
+    # doc-level reduction above cannot catch candidate docs that pair with
+    # the WRONG partner (two candidate docs sharing shingles but no band).
+    # At the sf1 synth this collapses the exchange from ~113M shared-
+    # shingle rows to the ~13M that back real candidate pairs (guide §3.2,
+    # §2.3: aggregate/filter before the shuffle). Counts for surviving
+    # pairs are untouched. Past the broadcast cap the semi-join shuffles
+    # by the same (da, db) key the aggregate needs — one exchange of the
+    # stream either way.
+    cand_probe = (
+        F.broadcast(cand) if n_cand <= SEMIJOIN_MAX_BROADCAST_ROWS else cand
+    )
+    inter = (
+        pair_stream.join(cand_probe, ["da", "db"], "left_semi")
+        .groupBy("da", "db")
         .agg(F.count("*").alias("inter"))
     )
     return (
