@@ -470,6 +470,9 @@ SELECT doc_id, {_simhash_value_sql()} AS simhash FROM sums
 
 # --- d03b: SimHash near-dup pairs via byte-band blocking ------------------
 HAMMING_MAX = 3
+#: group-pair spread factor (× defaultParallelism) ahead of the expansion
+#: joins — see the comment at the repartition site
+D03B_EXPAND_PARTS = 4
 
 
 def d03b_simhash_pairs(spark, sf_dir):
@@ -536,6 +539,18 @@ def d03b_simhash_pairs(spark, sf_dir):
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
+    # the expansion fan-out below is ATOMIC per gpair row (one row emits
+    # |group_a|×|group_b| pairs) and AQE coalesces the tiny gpairs exchange
+    # into a handful of tasks — a few heavy group pairs then serialize the
+    # whole expansion (measured: one 14.5s straggler vs 0.6s median on
+    # d35's critical path). Spread the rows round-robin over plenty of
+    # tasks first so heavy rows land apart (guide §2.5: skew —
+    # split/spread the hot keys); the exchange itself is distinct-value
+    # pairs, orders of magnitude smaller than its fan-out.
+    if D03B_EXPAND_PARTS:
+        gpairs = gpairs.repartition(
+            D03B_EXPAND_PARTS * spark.sparkContext.defaultParallelism
+        )
     # m leaves the window hash-partitioned by SIMHASH — i.e. every member
     # of a big group sits in ONE partition, so the intra fan-out below
     # (each probe row emits |group| rows) would be produced by a handful
