@@ -128,3 +128,29 @@ def test_stream_static_enrich_no_state(spark):
     n_events = out.sparkSession.read.parquet(f"{SF}/events.parquet").count()
     assert out.count() == n_events  # left join keeps every event
     assert out.filter(F.col("segment").isNotNull()).count() > 0
+
+
+def test_streaming_state_store_is_rocksdb(spark):
+    """Session TUNING pins the RocksDB state-store provider (state off-heap
+    on local disk — the bounded-memory shape for 100 TB watermark state).
+    Assert a LIVE stateful query actually runs on it by reading the
+    rocksdb custom metrics out of the query progress, not just the conf."""
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    q = (
+        windowed_counts(event_stream(spark, SF))
+        .writeStream.format("memory")
+        .queryName("rocksdb_probe")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progress = q.recentProgress
+    q.stop()
+    metrics = set()
+    for p in progress:
+        for op in p.get("stateOperators") or []:
+            metrics.update((op.get("customMetrics") or {}).keys())
+    assert any(k.startswith("rocksdb") for k in metrics), sorted(metrics)
