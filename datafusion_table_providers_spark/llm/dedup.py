@@ -54,9 +54,16 @@ FROM documents GROUP BY md5(text)
 
 # --- shared shingle builders ---------------------------------------------
 def _shingles_df(spark, sf_dir, distinct: bool = True, width: int = SHINGLE_W):
-    """Word ``width``-gram shingles per doc (default: the 3-gram dedup
-    shingles; d13/p02 reuse the same builder for their 4-gram
-    decontamination pass).
+    """Word ``width``-gram shingles per doc of the corpus (default: the
+    3-gram dedup shingles; d13/p02 reuse the same builder for their 4-gram
+    decontamination pass). See :func:`_shingles_of` for the shape."""
+    return _shingles_of(_t(spark, sf_dir, "documents"), distinct, width)
+
+
+def _shingles_of(docs, distinct: bool = True, width: int = SHINGLE_W):
+    """Word ``width``-gram shingles per doc of an arbitrary (doc_id, text)
+    table — the corpus itself, or the text-group representatives
+    (:func:`_rep_docs`) when the consumer's result is a pure text function.
 
     ``distinct=False`` skips the dedup shuffle — correct wherever the
     consumer is duplicate-insensitive (MinHash ``min`` aggregates), which at
@@ -72,12 +79,12 @@ def _shingles_df(spark, sf_dir, distinct: bool = True, width: int = SHINGLE_W):
     hash partitioning established below, so both forms are one-shuffle."""
     from pyspark.sql import Window
 
-    d = _t(spark, sf_dir, "documents")
+    spark = docs.sparkSession
     # Small corpora arrive as one file split; the shingle explode + hashing
     # is the expensive part, so spread the docs across the cluster first
     # (at real scale the scan already has many splits and this coalesces
     # into AQE's hands).
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     e = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
     win = Window.partitionBy("doc_id").orderBy("pos")
     succ = [F.lead("w", j).over(win) for j in range(1, width)]
@@ -123,20 +130,40 @@ _SIG_CACHE: dict = register_cache({})
 
 
 def _signature_df(spark, sf_dir):
+    """Per-doc signature table for doc-keyed consumers (c14, d26),
+    memoized + checkpointed. Built GROUP-LEVEL since r22: signatures are a
+    pure text function, so they are computed once per distinct text
+    (:func:`_rep_signature_df`) and expanded back through the group map —
+    identical rows, and on a duplicate-heavy corpus the shingle/hash work
+    drops by the duplication factor."""
     key = memo_key(spark, sf_dir)
     cached = _SIG_CACHE.get(key)
     if cached is not None:
         return cached
-    out = _signature_plan_df(spark, sf_dir).localCheckpoint(eager=True)
+    m = _text_groups(spark, sf_dir)
+    rep = _rep_signature_df(spark, sf_dir).withColumnRenamed("doc_id", "gid")
+    if _doc_count(spark, sf_dir) <= SEMIJOIN_MAX_BROADCAST_ROWS:
+        rep = F.broadcast(rep)
+    out = (
+        m.join(rep, "gid")
+        .select("doc_id", *[f"band{b}" for b in range(N_BANDS)])
+        .localCheckpoint(eager=True)
+    )
     _SIG_CACHE[key] = out
     return out
 
 
 def _signature_plan_df(spark, sf_dir):
-    """Raw signature pipeline (no memo/checkpoint) — the plan-bearing
-    object for explain/tests; _signature_df wraps it."""
+    """Raw per-doc signature pipeline (no memo/checkpoint/grouping) — the
+    plan-bearing object for d02 itself and for tests."""
+    return _signatures_of(_t(spark, sf_dir, "documents"))
+
+
+def _signatures_of(docs):
+    """MinHash signature + LSH band pipeline over an arbitrary
+    (doc_id, text) table (corpus or text-group representatives)."""
     # duplicate shingles cannot change a min() — skip the distinct shuffle
-    sh = _shingles_df(spark, sf_dir, distinct=False)
+    sh = _shingles_of(docs, distinct=False)
     m = F.md5(F.col("s"))
     hh = sh.select(
         "doc_id",
@@ -245,12 +272,131 @@ def _doc_count(spark, sf_dir) -> int:
     return n
 
 
+# --- text groups: compute once per DISTINCT text, expand at the end -------
+# Signatures, band keys, shingle sets — hence LSH candidacy and exact
+# Jaccard — are pure functions of the TEXT. A dedup-heavy corpus (the
+# regime these operators exist for; the sf1 synth replicates every text
+# 10×) therefore repeats the entire shingle→hash→join pipeline per copy.
+# Group docs by md5(text) (the d01 primitive — a 32-byte shuffle key per
+# doc), run the pipeline once per group REPRESENTATIVE, and fan verdicts
+# back out to doc pairs with gid-equi-joins at the very end: the same
+# group/expand discipline d22 applies to prefixes and d03b to simhash
+# values (guide §1.2 step 1: fix the algorithm; §8.4: decide with small
+# rows, attach cheaply). Intra-group pairs are jaccard-1.0 by identity and
+# emitted only when the rep actually has shingles (docs under SHINGLE_W
+# words produce no signature, so the per-doc pipeline never pairs them).
+
+#: (applicationId, sf_dir) → checkpointed (doc_id, gid) text-group map
+_GRP_CACHE: dict = register_cache({})
+#: (applicationId, sf_dir) → checkpointed rep signature table
+_REPSIG_CACHE: dict = register_cache({})
+#: (applicationId, sf_dir) → number of text groups (distinct texts)
+_REPN_CACHE: dict = register_cache({})
+
+
+def _text_groups(spark, sf_dir):
+    """(doc_id, gid) with gid = min doc_id among docs sharing this exact
+    text — memoized + checkpointed per (session, sf_dir)."""
+    key = memo_key(spark, sf_dir)
+    m = _GRP_CACHE.get(key)
+    if m is None:
+        th = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("th")
+        )
+        gids = th.groupBy("th").agg(F.min("doc_id").alias("gid"))
+        m = (
+            th.join(gids, "th")
+            .select("doc_id", "gid")
+            .localCheckpoint(eager=True)
+        )
+        _GRP_CACHE[key] = m
+    return m
+
+
+def _rep_count(spark, sf_dir) -> int:
+    key = memo_key(spark, sf_dir)
+    n = _REPN_CACHE.get(key)
+    if n is None:
+        m = _text_groups(spark, sf_dir)
+        n = m.where(F.col("doc_id") == F.col("gid")).count()
+        _REPN_CACHE[key] = n
+    return n
+
+
+def _rep_docs(spark, sf_dir):
+    """The documents table restricted to text-group representatives."""
+    m = _text_groups(spark, sf_dir)
+    rep_ids = m.where(F.col("doc_id") == F.col("gid")).select("doc_id")
+    if _rep_count(spark, sf_dir) <= SEMIJOIN_MAX_BROADCAST_ROWS:
+        rep_ids = F.broadcast(rep_ids)
+    return _t(spark, sf_dir, "documents").join(rep_ids, "doc_id", "left_semi")
+
+
+def _rep_signature_df(spark, sf_dir):
+    """Signature table over the group representatives (1 row per distinct
+    text that has >= 1 shingle), memoized + checkpointed."""
+    key = memo_key(spark, sf_dir)
+    cached = _REPSIG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = _signatures_of(_rep_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    _REPSIG_CACHE[key] = out
+    return out
+
+
+def _expand_group_pairs(spark, sf_dir, gpairs, payload_cols):
+    """Fan group-pair verdicts (ga, gb, *payload) back out to doc pairs
+    (da < db, *payload). ``gpairs`` must hold ga < gb over distinct group
+    pairs; every unordered cross-group doc pair appears exactly once and
+    least/greatest restores the da < db order (groups partition docs)."""
+    m = _text_groups(spark, sf_dir)
+    ma = m.select(F.col("gid").alias("ga"), F.col("doc_id").alias("xa"))
+    mb = m.select(F.col("gid").alias("gb"), F.col("doc_id").alias("xb"))
+    # the doc→group map is 2 longs/doc: broadcast it into the expansion
+    # joins when it fits (see d03b/d22) so the fanned-out pair stream is
+    # produced map-side; past the cap the joins shuffle (AQE skew-split
+    # applies there)
+    if _doc_count(spark, sf_dir) <= SEMIJOIN_MAX_BROADCAST_ROWS:
+        ma, mb = F.broadcast(ma), F.broadcast(mb)
+    return (
+        gpairs.join(ma, "ga")
+        .join(mb, "gb")
+        .select(
+            F.least("xa", "xb").alias("da"),
+            F.greatest("xa", "xb").alias("db"),
+            *payload_cols,
+        )
+    )
+
+
+def _intra_group_pairs(spark, sf_dir, groups, payload_cols):
+    """All (da < db) doc pairs inside each group of ``groups`` (gid,
+    *payload) — the identical-text pairs, which carry a constant payload
+    (jaccard 1.0 / shared = the group's own shingle stats)."""
+    m = _text_groups(spark, sf_dir)
+    ma = m.select(F.col("gid"), F.col("doc_id").alias("xa"))
+    mb = m.select(F.col("gid"), F.col("doc_id").alias("xb"))
+    if _doc_count(spark, sf_dir) <= SEMIJOIN_MAX_BROADCAST_ROWS:
+        ma, mb = F.broadcast(ma), F.broadcast(mb)
+    return (
+        groups.join(ma, "gid")
+        .join(mb, "gid")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            F.col("xa").alias("da"), F.col("xb").alias("db"), *payload_cols
+        )
+    )
+
+
 def d02b_minhash_lsh_pairs(spark, sf_dir, shingles=None):
-    # the signature table arrives already checkpointed (and memoized) from
-    # _signature_df — the lineage cut that keeps the 4-band union self-join
-    # from embedding the full hash plan 8x
-    sig = _signature_df(spark, sf_dir)
-    # bucket join per band: docs sharing any full band key are candidates
+    # GROUP LEVEL (r22): candidacy and exact Jaccard are pure functions of
+    # the two TEXTS, so the whole band-join + shingle-verification pipeline
+    # runs once per distinct text (group representative) and the verdicts
+    # fan back out to doc pairs at the end (see _text_groups). The rep
+    # signature table arrives checkpointed + memoized — the lineage cut
+    # that keeps the 4-band union self-join from embedding the hash plan 8x.
+    sig = _rep_signature_df(spark, sf_dir)
+    # bucket join per band: reps sharing any full band key are candidates
     buckets = None
     for b in range(N_BANDS):
         one = sig.select(
@@ -276,37 +422,41 @@ def d02b_minhash_lsh_pairs(spark, sf_dir, shingles=None):
         # reference
         .localCheckpoint(eager=True)
     )
-    # exact verification on candidates only. When built standalone the
-    # shingle table is NOT checkpointed (it is ~10× corpus size; re-deriving
-    # it per reference beats writing it to executor-local disk); an ensemble
-    # caller (d35) that feeds SEVERAL shingle consumers passes one shared
-    # checkpointed table via ``shingles`` instead — same rows either way.
-    sh = shingles if shingles is not None else _shingles_df(spark, sf_dir)
+    # exact verification on candidate reps only. When built standalone the
+    # rep shingle table is NOT checkpointed (it is ~10× rep-corpus size;
+    # re-deriving it per reference beats writing it to executor-local
+    # disk); an ensemble caller (d35) that feeds SEVERAL shingle consumers
+    # passes one shared checkpointed REP table via ``shingles`` instead —
+    # same rows either way.
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingles_of(_rep_docs(spark, sf_dir))
+    )
     # Semi-join reduction (guide §3.2): the shingle self-join only has to
-    # cover docs that appear in some candidate pair — broadcast the (output-
-    # bounded, ≤2×|cand|) candidate doc set and drop every other doc's
-    # shingles BEFORE the s=s exchange. Pair counts between surviving docs
+    # cover reps that appear in some candidate pair — broadcast the (output-
+    # bounded, ≤2×|cand|) candidate rep set and drop every other rep's
+    # shingles BEFORE the s=s exchange. Pair counts between surviving reps
     # are untouched, so the cand-join result is identical; what changes is
     # that the big exchange no longer carries shingles of never-candidate
-    # docs (at 100 TB: almost all of them).
+    # texts (at 100 TB: almost all of them).
     cand_docs = (
         cand.select(F.col("da").alias("doc_id"))
         .union(cand.select(F.col("db").alias("doc_id")))
         .distinct()
     )
-    # ADAPTIVE: the reduction wins when duplicate-suspect docs are sparse
-    # (the realistic regime) but costs ~20% when nearly every doc is a
-    # candidate — measured on the sf1 synth, which replicates all content
-    # 10× so candidates ≈ everything. Both counts are cheap (cand is
-    # checkpointed; the doc count is a memoized parquet-statistics job),
-    # and all branches are result-identical, so this is the guide-§3.2
-    # "pre-filters are not always on" decision made from the actual
-    # candidate fraction. NOTE the counts make DataFrame CONSTRUCTION
-    # eager: building this plan executes the candidate pipeline even if
-    # the result is never collected — inherent to a data-dependent plan
-    # choice; plan-only tooling should target the branches directly.
+    # ADAPTIVE: the reduction wins when duplicate-suspect texts are sparse
+    # (the realistic regime) but costs ~20% when nearly every rep is a
+    # candidate. Both counts are cheap (cand is checkpointed; the rep
+    # count is memoized), and all branches are result-identical, so this
+    # is the guide-§3.2 "pre-filters are not always on" decision made from
+    # the actual candidate fraction. NOTE the counts make DataFrame
+    # CONSTRUCTION eager: building this plan executes the candidate
+    # pipeline even if the result is never collected — inherent to a
+    # data-dependent plan choice; plan-only tooling should target the
+    # branches directly.
     n_cand = cand_docs.count()
-    if n_cand < SEMIJOIN_MAX_FRACTION * _doc_count(spark, sf_dir):
+    if n_cand < SEMIJOIN_MAX_FRACTION * _rep_count(spark, sf_dir):
         if n_cand <= SEMIJOIN_MAX_BROADCAST_ROWS:
             sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
         else:
@@ -315,9 +465,9 @@ def d02b_minhash_lsh_pairs(spark, sf_dir, shingles=None):
             sh_c = sh.join(cand_docs, "doc_id", "left_semi")
     else:
         sh_c = sh
-    # per-doc shingle counts from the (possibly) restricted table: the
-    # da/db joins below only ever look up candidate docs, and sh_c keeps
-    # ALL shingles of each surviving doc, so the counts are identical
+    # per-rep shingle counts from the (possibly) restricted table: the
+    # da/db joins below only ever look up candidate reps, and sh_c keeps
+    # ALL shingles of each surviving rep, so the counts are identical
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
     pair_stream = (
         sh_c.alias("x")
@@ -331,14 +481,12 @@ def d02b_minhash_lsh_pairs(spark, sf_dir, shingles=None):
     # in `cand` survive the final inner join, so drop the rest of the
     # shared-shingle pair stream map-side with a broadcast LEFT SEMI
     # against the (checkpointed, output-bounded) candidate table — the
-    # doc-level reduction above cannot catch candidate docs that pair with
-    # the WRONG partner (two candidate docs sharing shingles but no band).
-    # At the sf1 synth this collapses the exchange from ~113M shared-
-    # shingle rows to the ~13M that back real candidate pairs (guide §3.2,
-    # §2.3: aggregate/filter before the shuffle). Counts for surviving
-    # pairs are untouched. Past the broadcast cap the semi-join shuffles
-    # by the same (da, db) key the aggregate needs — one exchange of the
-    # stream either way.
+    # rep-level reduction above cannot catch candidate reps that pair with
+    # the WRONG partner (two candidate reps sharing shingles but no band).
+    # (guide §3.2, §2.3: aggregate/filter before the shuffle.) Counts for
+    # surviving pairs are untouched. Past the broadcast cap the semi-join
+    # shuffles by the same (da, db) key the aggregate needs — one exchange
+    # of the stream either way.
     cand_probe = (
         F.broadcast(cand) if n_cand <= SEMIJOIN_MAX_BROADCAST_ROWS else cand
     )
@@ -347,18 +495,29 @@ def d02b_minhash_lsh_pairs(spark, sf_dir, shingles=None):
         .groupBy("da", "db")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    gpairs = (
         cand.join(inter, ["da", "db"])
         .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
         .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
         .select(
-            "da",
-            "db",
+            F.col("da").alias("ga"),
+            F.col("db").alias("gb"),
             _r(
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
             ).alias("jaccard"),
         )
     )
+    cross = _expand_group_pairs(spark, sf_dir, gpairs, [F.col("jaccard")])
+    # intra-group pairs: identical texts share every band key and every
+    # shingle, so the per-doc pipeline always paired them at jaccard
+    # exactly 1.0 (inter = na = nb) — PROVIDED the text has >= 1 shingle
+    # (docs under SHINGLE_W words produce no signature and never pair).
+    # Restrict to groups whose rep carries a signature.
+    with_sig = sig.select(F.col("doc_id").alias("gid"))
+    intra = _intra_group_pairs(
+        spark, sf_dir, with_sig, [F.lit(1.0).alias("jaccard")]
+    )
+    return cross.unionByName(intra)
 
 
 def _d02b_sql() -> str:
@@ -421,9 +580,15 @@ def _simhash_value_sql() -> str:
 
 
 def d03_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    return _simhashes_of(_t(spark, sf_dir, "documents"))
+
+
+def _simhashes_of(docs):
+    """SimHash signature pipeline over an arbitrary (doc_id, text) table
+    (the corpus, or the text-group representatives when the consumer only
+    needs the per-text value — simhash is a pure text function)."""
+    spark = docs.sparkSession
+    d = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
@@ -618,24 +783,39 @@ MIN_SHARED = 2
 
 
 def d04_ngram_jaccard(spark, sf_dir, shingles=None):
-    # see d02b: standalone builds re-derive the shingle explosion per
-    # reference; ensemble callers pass one shared checkpointed table
-    sh = shingles if shingles is not None else _shingles_df(spark, sf_dir)
+    # GROUP LEVEL (r22, see d02b/_text_groups): the shared-shingle count
+    # and Jaccard depend only on the two texts and the GLOBAL document
+    # frequency of each shingle, so the self-join runs once per distinct
+    # text and fans back out at the end. ``shingles`` (when passed by the
+    # d35 ensemble) is the REP-level distinct shingle table.
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingles_of(_rep_docs(spark, sf_dir))
+    )
+    m = _text_groups(spark, sf_dir)
+    gsize = m.groupBy("gid").agg(F.count("*").alias("gn"))
+    # document frequency of s = Σ group sizes over the groups whose text
+    # contains s (each rep row stands for gn identical docs) — identical
+    # to the per-doc count. The group-size table is 2 longs/group;
+    # broadcast it under the cap.
+    gsz = gsize.withColumnRenamed("gid", "doc_id")
+    if _rep_count(spark, sf_dir) <= SEMIJOIN_MAX_BROADCAST_ROWS:
+        gsz = F.broadcast(gsz)
     # drop ultra-common shingles via ANTI-join against the COMMON set: the
     # common side (df > cap) is tiny and bounded at any corpus size, while
-    # the old inner-join-with-broadcast(rare) shipped nearly the whole
-    # distinct-shingle vocabulary to every executor — a broadcast that
-    # grows with the corpus (guide §3.1: broadcast the side that stays
-    # small). Surviving rows are identical.
+    # a broadcast of the rare vocabulary would grow with the corpus
+    # (guide §3.1: broadcast the side that stays small).
     common = (
-        sh.groupBy("s")
-        .agg(F.count("*").alias("df"))
+        sh.join(gsz, "doc_id")
+        .groupBy("s")
+        .agg(F.sum("gn").alias("df"))
         .filter(F.col("df") > FREQ_CAP)
         .select("s")
     )
     sh_r = sh.join(F.broadcast(common), "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
+    ginter = (
         sh_r.alias("x")
         .join(sh_r.alias("y"), F.col("x.s") == F.col("y.s"))
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -643,8 +823,8 @@ def d04_ngram_jaccard(spark, sf_dir, shingles=None):
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= MIN_SHARED)
     )
-    return (
-        inter.join(
+    gpairs = (
+        ginter.join(
             sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"),
             "da",
         )
@@ -653,8 +833,8 @@ def d04_ngram_jaccard(spark, sf_dir, shingles=None):
             "db",
         )
         .select(
-            "da",
-            "db",
+            F.col("da").alias("ga"),
+            F.col("db").alias("gb"),
             "shared",
             _r(
                 F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
@@ -662,6 +842,31 @@ def d04_ngram_jaccard(spark, sf_dir, shingles=None):
             ).alias("jaccard"),
         )
     )
+    cross = _expand_group_pairs(
+        spark, sf_dir, gpairs, [F.col("shared"), F.col("jaccard")]
+    )
+    # intra-group pairs: identical texts share exactly their own rare
+    # shingles, so the per-doc join emitted them with shared = |rare(text)|
+    # and jaccard = shared / (2n - shared) — but only when the text has
+    # >= MIN_SHARED rare shingles.
+    rare_n = (
+        sh_r.groupBy(F.col("doc_id").alias("gid"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= MIN_SHARED)
+    )
+    intra_g = rare_n.join(
+        sizes.withColumnRenamed("doc_id", "gid"), "gid"
+    ).select(
+        "gid",
+        "shared",
+        _r(
+            F.col("shared") / (F.col("n") + F.col("n") - F.col("shared")), 6
+        ).alias("jaccard"),
+    )
+    intra = _intra_group_pairs(
+        spark, sf_dir, intra_g, [F.col("shared"), F.col("jaccard")]
+    )
+    return cross.unionByName(intra)
 
 
 _D04_SQL = f"""
@@ -1010,66 +1215,92 @@ FUZZY_EVAL_REM = 2
 
 
 def d26_fuzzy_decontaminate(spark, sf_dir):
-    sig = _signature_df(spark, sf_dir)  # already checkpointed + memoized
-    is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == FUZZY_EVAL_REM
+    # GROUP LEVEL (r22, see _text_groups): candidacy and Jaccard are pure
+    # functions of the two TEXTS; only the train/eval SPLIT is doc-level
+    # (doc_id % MOD). So: run the band join + shingle verification once per
+    # unordered REP pair — INCLUDING the diagonal ga == gb, since a train
+    # doc and an eval doc may share one exact text (jaccard 1.0) — then
+    # expand each verdict to (train member × eval member) in both
+    # directions through the group map. The real-scale shape argument is
+    # unchanged (an eval side is benchmark-sized), and on a dup-heavy
+    # corpus the shingle join work drops by the duplication factor².
+    sig = _rep_signature_df(spark, sf_dir)  # checkpointed + memoized
     buckets = None
     for b in range(N_BANDS):
         one = sig.select(
             "doc_id", F.col(f"band{b}").alias("key"), F.lit(b).alias("band")
         )
         buckets = one if buckets is None else buckets.union(one)
-    a = buckets.where(~is_eval).alias("a")
-    bb = buckets.where(is_eval).alias("b")
-    cand = (
+    a = buckets.alias("a")
+    bb = buckets.alias("b")
+    gcand = (
         a.join(
             F.broadcast(bb),
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key")),
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") <= F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("train_id"),
-            F.col("b.doc_id").alias("eval_id"),
-        )
+        .select(F.col("a.doc_id").alias("ga"), F.col("b.doc_id").alias("gb"))
         .distinct()
+        # output-bounded band collisions, referenced twice below (semi
+        # probe + final join): cut the band-join lineage once
+        .localCheckpoint(eager=True)
     )
-    sh = _shingles_df(spark, sf_dir)
+    sh = _shingles_of(_rep_docs(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        sh.where(~is_eval)
-        .alias("x")
-        .join(
-            F.broadcast(sh.where(is_eval).alias("y")),
-            F.col("x.s") == F.col("y.s"),
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("train_id"),
-            F.col("y.doc_id").alias("eval_id"),
-        )
+    pair_stream = (
+        sh.alias("x")
+        .join(sh.alias("y"), F.col("x.s") == F.col("y.s"))
+        .filter(F.col("x.doc_id") <= F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("ga"), F.col("y.doc_id").alias("gb"))
+    )
+    # pair-level reduction before the aggregate exchange, as in d02b
+    gcand_probe = (
+        F.broadcast(gcand)
+        if _rep_count(spark, sf_dir) <= SEMIJOIN_MAX_BROADCAST_ROWS
+        else gcand
+    )
+    ginter = (
+        pair_stream.join(gcand_probe, ["ga", "gb"], "left_semi")
+        .groupBy("ga", "gb")
         .agg(F.count("*").alias("inter"))
     )
-    return (
-        cand.join(inter, ["train_id", "eval_id"])
-        .join(
-            sizes.withColumnRenamed("doc_id", "train_id").withColumnRenamed(
-                "n", "nt"
-            ),
-            "train_id",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "eval_id").withColumnRenamed(
-                "n", "ne"
-            ),
-            "eval_id",
-        )
+    gpairs = (
+        gcand.join(ginter, ["ga", "gb"])
+        .join(sizes.withColumnRenamed("doc_id", "ga").withColumnRenamed("n", "na"), "ga")
+        .join(sizes.withColumnRenamed("doc_id", "gb").withColumnRenamed("n", "nb"), "gb")
         .select(
-            "train_id",
-            "eval_id",
+            "ga",
+            "gb",
             _r(
-                F.col("inter") / (F.col("nt") + F.col("ne") - F.col("inter")),
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
                 6,
             ).alias("jaccard"),
         )
     )
+    # expansion: train members of one group × eval members of the other,
+    # both directions for distinct groups, once for the diagonal
+    m = _text_groups(spark, sf_dir)
+    is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == FUZZY_EVAL_REM
+    mt = m.where(~is_eval).select("gid", F.col("doc_id").alias("train_id"))
+    me = m.where(is_eval).select("gid", F.col("doc_id").alias("eval_id"))
+    fits = _doc_count(spark, sf_dir) <= SEMIJOIN_MAX_BROADCAST_ROWS
+
+    def _bc(df):
+        return F.broadcast(df) if fits else df
+
+    fwd = (
+        gpairs.join(_bc(mt.withColumnRenamed("gid", "ga")), "ga")
+        .join(_bc(me.withColumnRenamed("gid", "gb")), "gb")
+        .select("train_id", "eval_id", "jaccard")
+    )
+    rev = (
+        gpairs.filter(F.col("ga") < F.col("gb"))
+        .join(_bc(mt.withColumnRenamed("gid", "gb")), "gb")
+        .join(_bc(me.withColumnRenamed("gid", "ga")), "ga")
+        .select("train_id", "eval_id", "jaccard")
+    )
+    return fwd.unionByName(rev)
 
 
 def _d26_sql() -> str:
@@ -1211,13 +1442,17 @@ _D35_MASK_STR = [
 
 
 def d35_ensemble_neardup(spark, sf_dir):
-    # ONE distinct-shingle pass feeds both shingle-set members (minhash's
-    # exact-Jaccard verifier and the n-gram blocker): each references the
-    # shingle lineage 3-5× inside its own plan, so the ensemble would
-    # otherwise re-run the scan+explode+distinct subtree ~8× (guide §2.4:
-    # share one pass; §5: one lineage cut for the shared table). SimHash
-    # blocks on single words, not shingles — it keeps its own pass.
-    shingles = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    # ONE distinct-shingle pass over the text-group REPRESENTATIVES feeds
+    # both shingle-set members (minhash's exact-Jaccard verifier and the
+    # n-gram blocker): each references the shingle lineage 3-5× inside its
+    # own plan, so the ensemble would otherwise re-run the
+    # scan+explode+distinct subtree ~8× (guide §2.4: share one pass; §5:
+    # one lineage cut for the shared table). SimHash blocks on single
+    # words, not shingles — it keeps its own pass (and its own
+    # distinct-simhash grouping, which subsumes identical texts).
+    shingles = _shingles_of(_rep_docs(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     mh = d02b_minhash_lsh_pairs(spark, sf_dir, shingles=shingles).select(
         "da", "db", F.lit(_D35_TAG["minhash"]).alias("tag")
     )
@@ -1247,15 +1482,40 @@ def d35_ensemble_neardup(spark, sf_dir):
         # reference
         .localCheckpoint(eager=True)
     )
-    sh_pairs = d03b_simhash_pairs(spark, sf_dir).select("da", "db")
+    # Simhash membership WITHOUT materializing d03b's pair stream: with 4
+    # byte-bands and HAMMING_MAX = 3, pigeonhole guarantees every
+    # hamming-≤-3 pair shares at least one untouched band, so d03b's pair
+    # set is EXACTLY {(da < db): hamming(simhash_a, simhash_b) ≤ 3} — the
+    # band blocking is pure acceleration, zero recall loss (set equality
+    # pinned in tests). Since the output needs ≥ 2 methods and simhash
+    # alone is 1, output ⊆ `small`; so attach each side's simhash VALUE to
+    # the small pair set (simhash is a pure text function — computed once
+    # per text-group rep, looked up through the group map) and filter on
+    # hamming directly. O(|small|) probes replace the d03b fan-out, whose
+    # expanded pair stream dominated the ensemble even when consumed
+    # map-side (guide §1.1 first-principles floor: one signature pass +
+    # one probe per candidate pair).
+    m = _text_groups(spark, sf_dir)
+    rsim = _simhashes_of(_rep_docs(spark, sf_dir)).withColumnRenamed(
+        "doc_id", "gid"
+    )
     fits = _doc_count(spark, sf_dir) <= SEMIJOIN_MAX_BROADCAST_ROWS
-    probe = small.select("da", "db")
-    hits = sh_pairs.join(
-        F.broadcast(probe) if fits else probe, ["da", "db"], "left_semi"
-    ).select("da", "db", F.lit(_D35_TAG["simhash"]).alias("tag_sh"))
-    # d03b emits every pair at most once (disjoint cross/intra sets of
-    # unique pairs — invariant pinned in tests), so `hits` is per-pair
-    # unique and the left join below adds the simhash bit exactly once.
+    doc_sim = m.join(F.broadcast(rsim) if fits else rsim, "gid").select(
+        "doc_id", "simhash"
+    )
+    sim_b = F.broadcast(doc_sim) if fits else doc_sim
+    hits = (
+        small.select("da", "db")
+        .join(sim_b.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha")), "da")
+        .join(sim_b.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb")), "db")
+        .filter(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= HAMMING_MAX
+        )
+        .select("da", "db", F.lit(_D35_TAG["simhash"]).alias("tag_sh"))
+    )
+    # `small` is per-pair unique (groupBy output) and the simhash lookup
+    # is 1 row/doc, so `hits` is per-pair unique and the left join below
+    # adds the simhash bit exactly once.
     agg = small.join(
         F.broadcast(hits) if fits else hits, ["da", "db"], "left"
     ).select(
