@@ -17,6 +17,11 @@ Beyond-reference additions. Scale-first shapes (the 100 TB designs):
 
 Everything is md5-based so Spark and the DuckDB oracle compute identical
 hashes; min() over fixed-width lowercase-hex strings == numeric min.
+
+Cross-cutting discipline (r22): wherever a verdict is a pure function of
+the underlying VALUES — document text (d02b/d04/d26), normalized prefix
+(d22), simhash value (d03b) — the pipeline runs once per distinct value
+and fans verdicts back out to doc pairs at the end; see _text_groups.
 """
 
 from __future__ import annotations
